@@ -1,0 +1,74 @@
+"""Pipeline configuration.
+
+One flat dataclass, mirroring the reference's flat options structs
+(``libpostal_normalize_options_t``, /root/reference/src/libpostal.h:110-136;
+fuzzy-dedupe thresholds ``needs_review_threshold=0.7`` / ``likely_dupe_threshold=0.9``,
+/root/reference/src/libpostal.c:185-193).
+
+``config_hash`` keys every checkpoint table so a changed config never silently
+reuses stale intermediate state (the resume ledger joins on it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling (analog of near-dupe quadgrams, src/near_dupe.c:266-281) ---
+    k_shingle: int = 5           # token k-grams over the canonical token stream
+    min_tokens: int = 1          # rows shorter than k fall back to a whole-doc shingle
+
+    # --- MinHash / LSH (replaces near_dupe_hashes' hand-built key families) ---
+    num_perm: int = 128          # signature length
+    bands: int = 32              # b
+    rows_per_band: int = 4       # r; b*r must equal num_perm
+    # P(collide at jaccard t) = 1-(1-t^r)^b; at t=0.7, b=32,r=4 → 0.99985
+
+    # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-186) ---
+    jaccard_threshold: float = 0.7
+
+    # --- SimHash pass (recall booster for near-exact files) ---
+    simhash_bits: int = 64
+    simhash_tables: int = 4      # split signature into T chunks; pairs share a chunk
+    simhash_hamming_max: int = 3
+
+    # --- winnowed substring pass (long exact clones; MOSS-style winnowing) ---
+    # guarantees a shared fingerprint for any common token run of length
+    # >= winnow_window + winnow_select - 1  (96+64-1 = 159 < the 200-token
+    # clone_embed floor in FIXTURES.md §2.8)
+    winnow_window: int = 96      # tokens per rolling fingerprint window
+    winnow_select: int = 64      # winnowing selection window (over window hashes)
+
+    # --- skew handling (boilerplate adversary, FIXTURES.md §2.9) ---
+    max_bucket_size: int = 64    # LSH buckets larger than this pair star-wise, not all-pairs
+    shuffle_partitions: int = 32
+
+    # --- misc ---
+    seed: int = 42
+    checkpoint_dir: str = "/tmp/libpostal_spark_ckpt"
+    max_shingles_per_doc: int = 20000  # permutation cap analog (EXCESSIVE_PERMUTATIONS,
+                                       # src/expand.c:29) — bounds per-row memory
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) != num_perm ({self.num_perm})"
+            )
+        if self.simhash_bits % self.simhash_tables != 0:
+            raise ValueError("simhash_bits must divide evenly into simhash_tables")
+
+    @property
+    def config_hash(self) -> str:
+        """16-hex digest over every semantics-affecting field (checkpoint key)."""
+        d = asdict(self)
+        d.pop("checkpoint_dir")          # location is not semantics
+        d.pop("shuffle_partitions")      # parallelism must not change results
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,82 @@
+"""Canonicalization core: source text → canonical token stream.
+
+The reference's expand/normalize stage (``expand_address_root``,
+/root/reference/src/expand.c:1653-1655; ``normalize_string_utf8_languages``,
+/root/reference/src/normalize.c:24-110) collapses surface variation
+(case, hyphens, abbreviations, accents) so that equivalent records produce
+intersecting expansion sets. Transposed to source code, the variation classes
+we must fold (FIXTURES.md §2) are:
+
+  ws        — whitespace / indentation / blank-line reflow
+  comment   — comments added / removed / reworded
+  case      — camelCase ↔ snake_case ↔ lower identifier styles
+  unicode   — NFKC-equivalent forms (full-width chars, composed vs decomposed)
+
+Everything here is pandas-vectorized (``pd.Series.str`` regex ops run in C
+loops inside pandas; the only ``.map`` is NFKC, applied behind an ASCII
+fast-path mask exactly like the reference's ASCII early-out at
+/root/reference/src/normalize.c:225-248).
+
+The output canonical form is a single string: lowercase tokens joined by a
+single space. ``canon.split(" ")`` recovers the token stream downstream.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+
+# comment syntaxes folded for every language: block /* ... */, line // and #,
+# and SQL/lua-style --. Stripping them from string literals too is an accepted
+# approximation (the reference likewise over-normalizes: it deletes hyphens and
+# periods everywhere, src/normalize.c:393-506).
+_RE_BLOCK_COMMENT = re.compile(r"/\*.*?\*/", re.DOTALL)
+_RE_LINE_COMMENT = re.compile(r"(//|#|--)[^\n]*")
+
+# identifier case-boundary splits: fooBar → foo Bar, HTTPServer → HTTP Server
+_RE_CAMEL_1 = re.compile(r"([a-z0-9])([A-Z])")
+_RE_CAMEL_2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
+
+# token scanner: identifier | number | any single non-space symbol
+# (the code analog of the re2c lexer classes in /root/reference/src/scanner.re:164-201)
+_RE_TOKEN = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*|\d+(?:\.\d+)?|[^\sa-zA-Z0-9_]")
+
+
+def _nfkc(series: pd.Series) -> pd.Series:
+    """NFKC-normalize only the rows that need it (ASCII fast path)."""
+    non_ascii = ~series.map(str.isascii)
+    if non_ascii.any():
+        series = series.copy()
+        series[non_ascii] = series[non_ascii].map(
+            lambda s: unicodedata.normalize("NFKC", s)
+        )
+    return series
+
+
+def canonicalize_batch(content: pd.Series, lang: pd.Series | None = None) -> pd.Series:
+    """Vectorized canonicalizer: pd.Series[str] → pd.Series[str] (canon form).
+
+    Stages (each a whole-batch pandas op):
+      1. NFKC unicode normalization (ASCII rows skipped)
+      2. comment stripping (block, line)
+      3. identifier case folding: camel boundaries → space, '_' → space
+      4. lowercase
+      5. tokenize + single-space join
+    """
+    s = content.fillna("").astype(str)
+    s = _nfkc(s)
+    s = s.str.replace(_RE_BLOCK_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_LINE_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_CAMEL_2, r"\1 \2", regex=True)
+    s = s.str.replace(_RE_CAMEL_1, r"\1 \2", regex=True)
+    s = s.str.replace("_", " ", regex=False)
+    s = s.str.lower()
+    toks = s.str.findall(_RE_TOKEN)
+    return toks.str.join(" ")
+
+
+def canonicalize_one(text: str) -> str:
+    """Single-string convenience wrapper (tests, goldens)."""
+    return canonicalize_batch(pd.Series([text])).iloc[0]

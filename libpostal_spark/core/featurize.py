@@ -1,0 +1,85 @@
+"""One-pass batch featurizer: canonical strings → all dedup features.
+
+Bridges the pandas/Arrow batch world to the numpy hashing core. The token
+vocabulary is hashed once per batch via ``pd.factorize`` (source code has a
+small vocabulary relative to token count), then every feature — shingle set,
+MinHash signature, LSH band hashes, SimHash, SimHash table keys, winnowed
+substring fingerprints — is derived from the same flat uint64 token-hash
+array with global numpy ops.
+
+Reference analog: one call to ``near_dupe_hashes`` per record emitted every
+key family at once (/root/reference/src/near_dupe.c:643-1216); here one batch
+pass emits every key family for every row at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..config import PipelineConfig
+from . import hashing as H
+
+
+@dataclass
+class BatchFeatures:
+    n_tokens: np.ndarray          # int32 per row
+    shingles: list                # list of int64 np arrays (sorted distinct)
+    minhash: np.ndarray           # (n, num_perm) uint64
+    bands: np.ndarray             # (n, bands) int64
+    simhash: np.ndarray           # (n,) int64
+    simhash_keys: np.ndarray      # (n, tables) int64
+    winnow: list                  # list of int64 np arrays (sorted distinct)
+
+
+def tokenize_flat(canon: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """canon strings → (flat token-hash uint64 array, per-row lengths)."""
+    toks = canon.fillna("").str.split(" ")
+    # empty string splits to [''] — normalize to []
+    lengths = toks.map(len).to_numpy(dtype=np.int64)
+    empty = canon.fillna("").str.len().to_numpy() == 0
+    lengths[empty] = 0
+    exploded = toks[~pd.Series(empty, index=toks.index)].explode()
+    if len(exploded) == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    codes, uniques = pd.factorize(exploded.to_numpy(dtype=object))
+    uniq_hashes = H.hash_tokens_unique(np.asarray(uniques, dtype=object), seed)
+    flat = uniq_hashes[codes]
+    return flat, lengths
+
+
+def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
+    flat, lengths = tokenize_flat(canon, cfg.seed)
+    sh_vals, sh_off = H.shingle_sets(flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc)
+    sig = H.minhash_signatures(sh_vals, sh_off, cfg.num_perm, cfg.seed)
+    bands = H.band_hashes(sig, cfg.bands, cfg.rows_per_band)
+    simhash = H.simhash_values(sh_vals, sh_off)
+    sim_keys = H.simhash_table_keys(simhash, cfg.simhash_tables, cfg.simhash_bits)
+    wn_vals, wn_off = H.winnow_fingerprints(flat, lengths, cfg.winnow_window, cfg.winnow_select)
+    n = len(lengths)
+    shingles = [sh_vals[sh_off[i] : sh_off[i + 1]] for i in range(n)]
+    winnow = [wn_vals[wn_off[i] : wn_off[i + 1]] for i in range(n)]
+    return BatchFeatures(
+        n_tokens=lengths.astype(np.int32),
+        shingles=shingles,
+        minhash=sig,
+        bands=bands,
+        simhash=simhash,
+        simhash_keys=sim_keys,
+        winnow=winnow,
+    )
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-distinct shingle arrays (tests/goldens).
+
+    Production verify uses the column-native
+    ``size(array_intersect)/size(array_union)`` instead
+    (/root/reference/src/jaccard.c:3-69 is the scalar analog).
+    """
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,158 @@
+"""Signature + blocking stages: files → signatures → candidate pairs.
+
+Scale design (the part the reference delegates to "a MapReduce setting",
+/root/reference/README.md:641-656, made explicit here):
+
+* **Exact pass first.** All rows are grouped by raw-content sha256 and only
+  one representative per distinct content enters LSH. This kills the
+  boilerplate skew adversary at the root: a license header replicated across
+  10^6 repos is ONE node in the candidate graph, connected to its copies by
+  star edges from a single groupBy — no O(n²) bucket ever forms. At 10^12
+  files this is the difference between a runnable job and a dead one.
+* **Key families.** MinHash band keys ∪ SimHash table keys ∪ winnow
+  substring fingerprints, unioned into one (kind, kid, khash) key stream —
+  the principled version of the reference's redundant overlapping key
+  families (4-level fallback hierarchy, /root/reference/src/near_dupe.c:853-1151).
+* **Bucket discipline.** Per-key counts are computed before any pairing.
+  Buckets ≤ max_bucket_size emit all pairs via a grouped double-explode (no
+  second shuffle); larger buckets emit star pairs to the bucket's min fid —
+  O(n) pairs, still connecting the component if members are truly similar
+  (verified downstream). Oversized-bucket counts are surfaced in metrics so
+  silent truncation never reads as full coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.udfs import make_canonicalize_udf, make_featurize_udf
+
+KIND_BAND = 0
+KIND_SIMHASH = 1
+KIND_WINNOW = 2
+KIND_EXACT = 3
+
+
+def with_ids(files: DataFrame) -> DataFrame:
+    """Add fid (primary key) and the raw-content sha256 invariant.
+
+    sha256(content) is computed BEFORE any normalization and carried through
+    every downstream table (per-row invariant, FIXTURES.md §1).
+    """
+    return files.withColumn(
+        "fid", F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256)
+    ).withColumn("sha256", F.sha2(F.col("content").cast("binary"), 256))
+
+
+def signatures(files: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """files → one row per fid with canon + every signature feature."""
+    canon_udf = make_canonicalize_udf()
+    feat_udf = make_featurize_udf(cfg)
+    df = with_ids(files)
+    df = df.withColumn("canon", canon_udf(F.col("content")))
+    df = df.withColumn("f", feat_udf(F.col("canon")))
+    return df.select(
+        "fid",
+        "sha256",
+        "repo",
+        "path",
+        "lang",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.shingles").alias("shingles"),
+        F.col("f.minhash").alias("minhash"),
+        F.col("f.simhash").alias("simhash"),
+        F.col("f.bands").alias("bands"),
+        F.col("f.simhash_keys").alias("simhash_keys"),
+        F.col("f.winnow").alias("winnow"),
+    ).withColumn("config_hash", F.lit(cfg.config_hash))
+
+
+def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Group identical raw content.
+
+    Returns (rep_sigs, exact_edges):
+      rep_sigs    — one signature row per distinct sha256 (the LSH universe)
+      exact_edges — (fid1=rep, fid2=member) star edges for the copies
+    One window shuffle on sha256; no pairing explosion regardless of skew.
+    """
+    w = Window.partitionBy("sha256")
+    with_rep = sigs.withColumn("rep_fid", F.min("fid").over(w))
+    rep_sigs = with_rep.filter(F.col("fid") == F.col("rep_fid")).drop("rep_fid")
+    exact_edges = (
+        with_rep.filter(F.col("fid") != F.col("rep_fid"))
+        .select(
+            F.col("rep_fid").alias("fid1"),
+            F.col("fid").alias("fid2"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(KIND_EXACT).alias("source"),
+        )
+    )
+    return rep_sigs, exact_edges
+
+
+def blocking_keys(rep_sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Explode every key family into one (fid, kind, kid, khash) stream.
+
+    The posexplode over band structs is the Spark-native form of the
+    reference's flat key emission (``near_dupe_hashes`` returning a
+    cstring_array of prefixed keys, /root/reference/src/near_dupe.c:627-640).
+    """
+    bands = rep_sigs.select(
+        "fid", F.posexplode("bands").alias("kid", "khash")
+    ).withColumn("kind", F.lit(KIND_BAND))
+    sim = rep_sigs.select(
+        "fid", F.posexplode("simhash_keys").alias("kid", "khash")
+    ).withColumn("kind", F.lit(KIND_SIMHASH))
+    win = rep_sigs.select(
+        "fid", F.explode("winnow").alias("khash")
+    ).withColumn("kid", F.lit(0)).withColumn("kind", F.lit(KIND_WINNOW))
+    return bands.unionByName(sim.select(*bands.columns)).unionByName(
+        win.select(*bands.columns)
+    )
+
+
+def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Key stream → distinct candidate pairs (fid1 < fid2, sources agg'd).
+
+    Returns (pairs, bucket_stats). bucket_stats rows: kind, n_buckets,
+    n_oversized, max_size — the no-silent-caps ledger.
+    """
+    counts = keys.groupBy("kind", "kid", "khash").agg(F.count("*").alias("cnt"))
+    bucket_stats = counts.groupBy("kind").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("cnt") > cfg.max_bucket_size).cast("long")).alias("n_oversized"),
+        F.max("cnt").alias("max_size"),
+    )
+
+    keyed = keys.join(counts.filter(F.col("cnt") > 1), ["kind", "kid", "khash"])
+
+    small = keyed.filter(F.col("cnt") <= cfg.max_bucket_size)
+    grouped = small.groupBy("kind", "kid", "khash").agg(
+        F.sort_array(F.collect_set("fid")).alias("fids")
+    )
+    small_pairs = (
+        grouped.select("kind", F.explode("fids").alias("fid1"), "fids")
+        .select("kind", "fid1", F.explode("fids").alias("fid2"))
+        .filter(F.col("fid1") < F.col("fid2"))
+    )
+
+    big = keyed.filter(F.col("cnt") > cfg.max_bucket_size)
+    big_rep = big.groupBy("kind", "kid", "khash").agg(F.min("fid").alias("rep"))
+    big_pairs = (
+        big.join(big_rep, ["kind", "kid", "khash"])
+        .filter(F.col("fid") != F.col("rep"))
+        .select(
+            "kind",
+            F.least("rep", "fid").alias("fid1"),
+            F.greatest("rep", "fid").alias("fid2"),
+        )
+    )
+
+    pairs = (
+        small_pairs.unionByName(big_pairs)
+        .groupBy("fid1", "fid2")
+        .agg(F.min("kind").alias("source"), F.collect_set("kind").alias("sources"))
+    )
+    return pairs, bucket_stats

@@ -1,0 +1,107 @@
+"""Distributed connected components: large-star / small-star.
+
+The reference's C library stops at pairwise verdicts and leaves transitive
+closure to the surrounding MapReduce system (/root/reference/README.md:603-625).
+This module is that missing system, as the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): O(log n) rounds of pure DataFrame groupBy/join, each round followed
+by ``localCheckpoint`` to cut lineage (an unbounded iterative plan otherwise
+blows up the optimizer and re-executes the whole chain on failure).
+
+Node ids are the fid strings themselves — any total order works, and string
+ids keep the per-row sha256/fid invariant intact end-to-end. At 10^12 nodes
+one would dictionary-encode fids to longs first (one extra join each way);
+the algorithm is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (hi, lo) with hi > lo, distinct, no self-loops."""
+    return (
+        edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to min(Γ(u) ∪ {u})."""
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect u and all its smaller neighbors to their min."""
+    oriented = edges  # already (hi=a, lo=b): every neighbor v=b of u=a is smaller
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    emit_children = oriented.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    emit_center = mins.select(F.col("a"), F.col("m").alias("b"))
+    return emit_children.unionAll(emit_center)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30, checkpoint: bool = True
+) -> DataFrame:
+    """(fid1, fid2) confirmed pairs → (fid, component) labels.
+
+    component = lexicographic min fid of the component. Only nodes appearing
+    in at least one pair are labeled; callers union in singletons (see
+    ``label_universe``).
+    """
+    edges = _normalize(
+        pairs.select(F.col("fid1").alias("a"), F.col("fid2").alias("b"))
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _normalize(_small_star(_large_star(edges)))
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    children = edges.select(F.col("a").alias("fid"), F.col("b").alias("component"))
+    roots = edges.select(F.col("b").alias("fid")).distinct().withColumn(
+        "component", F.col("fid")
+    )
+    return children.unionByName(roots).distinct()
+
+
+def label_universe(labels: DataFrame, universe: DataFrame) -> DataFrame:
+    """Left-join labels onto the full fid universe; unlabeled rows become
+    singleton components (component = own fid)."""
+    return (
+        universe.select("fid")
+        .join(labels, "fid", "left")
+        .withColumn("component", F.coalesce("component", "fid"))
+    )

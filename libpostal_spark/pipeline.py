@@ -1,0 +1,97 @@
+"""End-to-end near-duplicate pipeline orchestration.
+
+files(repo, path, commit, lang, content)
+  → S1 signatures   (canonicalize + featurize pandas UDFs; checkpointed)
+  → S2 exact groups (sha256 window; star edges for identical content)
+  → S3 band_buckets (key-family explosion; checkpointed)
+  → S4 pairs        (bucket-disciplined candidate pairing)
+  → S5 confirmed    (JVM-native Jaccard + winnow substring confirm; checkpointed)
+  → S6 components   (large-star/small-star CC; checkpointed)
+  → S7 clusters     (labels over the full universe + canonical flags)
+
+This is the dataflow of SURVEY.md §7.1 — the Spark-first restatement of the
+reference's normalize → near_dupe_hashes → is_dupe → (caller-side) cluster
+chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointStore, NullStore
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .operators import blocking, cluster, verify
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    exact_edges: DataFrame
+    pairs: DataFrame
+    confirmed: DataFrame
+    clusters: DataFrame          # fid, component, is_canonical
+    bucket_stats: list = field(default_factory=list)
+    metrics: list = field(default_factory=list)
+
+    def predicted_dup_pairs(self) -> DataFrame:
+        """All (fid1 < fid2) pairs sharing a component — for recall checks."""
+        a = self.clusters.select(F.col("fid").alias("fid1"), "component")
+        b = self.clusters.select(F.col("fid").alias("fid2"), "component")
+        return a.join(b, "component").filter(F.col("fid1") < F.col("fid2")).select(
+            "fid1", "fid2"
+        )
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        checkpoint_root: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = (
+            CheckpointStore(spark, checkpoint_root, cfg.config_hash)
+            if checkpoint_root
+            else NullStore(spark, cfg.config_hash)
+        )
+
+    def run(self, files: DataFrame, persist_intermediate: bool = True) -> PipelineResult:
+        cfg = self.cfg
+        sigs = self.store.stage("signatures", lambda: blocking.signatures(files, cfg))
+        if persist_intermediate and isinstance(self.store, NullStore):
+            sigs = sigs.persist()
+
+        rep_sigs, exact_edges = blocking.exact_groups(sigs)
+        keys = self.store.stage(
+            "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg)
+        )
+
+        pairs, bucket_stats_df = blocking.candidate_pairs(keys, cfg)
+        confirmed = self.store.stage(
+            "confirmed_pairs", lambda: verify.verified_pairs(pairs, rep_sigs, cfg)
+        )
+        bucket_stats = [r.asDict() for r in bucket_stats_df.collect()]
+
+        edges = exact_edges.select("fid1", "fid2").unionByName(
+            confirmed.select("fid1", "fid2")
+        )
+        labels = self.store.stage(
+            "components", lambda: cluster.connected_components(edges)
+        )
+        clusters = cluster.label_universe(labels, sigs).withColumn(
+            "is_canonical", (F.col("fid") == F.col("component"))
+        )
+        return PipelineResult(
+            signatures=sigs,
+            exact_edges=exact_edges,
+            pairs=pairs,
+            confirmed=confirmed,
+            clusters=clusters,
+            bucket_stats=bucket_stats,
+            metrics=list(self.store.metrics),
+        )
