@@ -1,0 +1,60 @@
+"""Canonicalizer goldens — the analog of the reference's expansion
+containment assertions (/root/reference/test/test_expand.c:126-196)."""
+
+import pandas as pd
+
+from libpostal_spark.core.canonicalize import canonicalize_batch, canonicalize_one
+
+
+def test_whitespace_folding():
+    a = canonicalize_one("x = foo(  a,b )\n\n\n  return x")
+    b = canonicalize_one("x=foo(a, b)\n\treturn x")
+    assert a == b
+
+
+def test_comment_folding():
+    a = canonicalize_one("x = 1  # set x to one\ny = 2")
+    b = canonicalize_one("x = 1 // different words here\ny = 2")
+    c = canonicalize_one("x = 1 /* block\ncomment */\ny = 2")
+    d = canonicalize_one("x = 1\ny = 2")
+    assert a == b == c == d
+
+
+def test_case_folding():
+    assert canonicalize_one("fooBarBaz = 1") == canonicalize_one("foo_bar_baz = 1")
+    assert canonicalize_one("HTTPServer") == canonicalize_one("http_server")
+
+
+def test_unicode_nfkc():
+    # fullwidth forms fold to ascii (NFKC) — analog of strip-accents/translit
+    # (/root/reference/src/normalize.c:54-81)
+    assert canonicalize_one("ｄｅｆ ｆｏｏ") == canonicalize_one("def foo")
+    # composed vs decomposed accents agree post-NFKC
+    assert canonicalize_one("café") == canonicalize_one("café")
+
+
+def test_tokenizer_symbols_split():
+    assert canonicalize_one("a+=b") == "a + = b"
+    assert canonicalize_one("f(x,y)") == "f ( x , y )"
+
+
+def test_number_tokens_kept():
+    assert canonicalize_one("x = 3.14") == "x = 3.14"
+
+
+def test_empty_and_null():
+    s = canonicalize_batch(pd.Series(["", None, "   "]))
+    assert list(s) == ["", "", ""]
+
+
+def test_distinct_content_distinct_canon():
+    a = canonicalize_one("def f(x): return x + 1")
+    b = canonicalize_one("def g(y): return y * 2")
+    assert a != b
+
+
+def test_batch_matches_single():
+    texts = ["def fooBar(): pass", "x = 1 # c", "ｗｉｄｅ"]
+    batch = list(canonicalize_batch(pd.Series(texts)))
+    single = [canonicalize_one(t) for t in texts]
+    assert batch == single
