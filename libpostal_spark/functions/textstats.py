@@ -1,0 +1,123 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side ``pyspark.sql.functions`` compositions (whole-stage codegen; no
+Python). Each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so
+the DuckDB oracle can verify values bit-for-bit.
+
+These are the large-scale pipeline ops (language-ID heuristic, quality
+scoring, token counting, fingerprinting) that complement the dedup engine —
+the reference's analog is its per-record classifiers and normalizers
+(language classifier /root/reference/src/language_classifier.c, tokenizer
+/root/reference/src/scanner.re) reconceived as columnar expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic (deterministic, SQL-expressible; not a real langid model)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "it"]
+
+
+def token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """fraction of characters that are ascii letters (4 dp)."""
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.round(
+        F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+            alpha.cast("double") / F.length(text).cast("double")
+        ),
+        4,
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
+    return F.round(
+        F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+            punct.cast("double") / F.length(text).cast("double")
+        ),
+        4,
+    )
+
+
+def _word_occurrences(text: Column, word: str) -> Column:
+    """count of whole-word occurrences (space-delimited match on padded text)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    target = f" {word} "
+    # occurrences via length difference; overlapping-safe for space-delimited
+    # words because the replacement keeps a single space
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(target), F.lit(" "))))
+        / F.lit(len(target) - 1)
+    ).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    total = token_count(text)
+    hits = None
+    for w in STOPWORDS:
+        c = _word_occurrences(text, w)
+        hits = c if hits is None else hits + c
+    return F.round(
+        F.when(total == 0, F.lit(0.0)).otherwise(
+            hits.cast("double") / total.cast("double")
+        ),
+        4,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """toy composite quality score in [0,1]: rewards alpha-heavy, reasonably
+    long, stopword-bearing text (4 dp; exact twin in oracle SQL)."""
+    length_term = F.least(n_chars(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        (alpha_ratio(text) + length_term + F.least(stopword_ratio(text) * 5, F.lit(1.0)))
+        / F.lit(3.0),
+        4,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-word counts; ties and zero-evidence → 'und'."""
+    counts = {
+        lang: sum([_word_occurrences(text, w) for w in words][1:],
+                  _word_occurrences(text, words[0]))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_cnt = F.lit(0).cast("long")
+    # deterministic order: first language in dict order wins ties strictly-greater
+    for lang in langs:
+        c = counts[lang]
+        cond = c > best_cnt
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(cond, c).otherwise(best_cnt)
+    return best
+
+
+def norm_fingerprint(text: Column) -> Column:
+    """sha256 of whitespace-collapsed, trimmed, lowercased text — the
+    document-fingerprint op (rolling-hash analog: exact canonical digest)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.sha2(norm.cast("binary"), 256)

@@ -1,0 +1,105 @@
+"""Dedup operators over generic text tables (the `documents` training corpus).
+
+The flagship code pipeline (pipeline.py) works on the
+(repo, path, commit, lang, content) schema; this module adapts any
+(id, text) table onto it and adds the SQL-expressible dedup primitives a
+training-data pipeline needs: exact dedup, n-gram Jaccard pairs, MinHash-LSH
+clustering, SimHash keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..pipeline import DedupPipeline
+
+
+def docs_as_files(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, …) → files schema adapter."""
+    return documents.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
+def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by raw sha256; groups with >1 member are dup sets.
+
+    Output: group_sha, dup_count, canonical_doc_id (min id — the keeper).
+    """
+    return (
+        documents.withColumn("group_sha", F.sha2(F.col(text_col).cast("binary"), 256))
+        .groupBy("group_sha")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def token_set(text: F.Column) -> F.Column:
+    """distinct lowercase word set (sorted for deterministic comparisons)."""
+    t = F.lower(F.trim(text))
+    arr = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    return F.array_sort(F.array_distinct(arr))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.0, adjacent_only: bool = True
+) -> DataFrame:
+    """Exact token-set Jaccard between document pairs.
+
+    adjacent_only pairs doc_id with doc_id+1 (a cheap deterministic slice used
+    by the oracle harness); full pairing should go through the LSH pipeline —
+    an all-pairs Jaccard is exactly the O(n²) the blocking stage exists to
+    avoid.
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), token_set(F.col("text")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_id1"), F.col("toks").alias("t1"))
+    b = toks.select(F.col("doc_id").alias("doc_id2"), F.col("toks").alias("t2"))
+    if adjacent_only:
+        pairs = a.join(b, F.col("doc_id2") == F.col("doc_id1") + 1)
+    else:
+        pairs = a.join(b, F.col("doc_id1") < F.col("doc_id2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size(F.array_union("t1", "t2"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id1", "doc_id2", "jaccard")
+    )
+
+
+def minhash_clusters(
+    spark, documents: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Full MinHash-LSH near-dup clustering of a documents table.
+
+    Output: doc_id, component (fid-space label), is_canonical.
+    """
+    cfg = cfg or PipelineConfig()
+    files = docs_as_files(documents)
+    res = DedupPipeline(spark, cfg).run(files)
+    sig = res.signatures.select("fid", F.col("path").alias("doc_id"))
+    return (
+        res.clusters.join(sig, "fid")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "component",
+            "is_canonical",
+        )
+        .orderBy("doc_id")
+    )

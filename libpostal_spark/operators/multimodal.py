@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` operators. The decode step itself is STUBBED
+(no image/audio libraries in this container): ``decode_image_features``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic content-derived feature vector is produced so the Spark-side
+plumbing — schema, batch shape, partitioning — is real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_ms long"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+
+def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: blake2b-seeded vector."""
+    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "little")
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def decode_image_features(
+    media: DataFrame, dim: int = 16, fake: bool = True
+) -> DataFrame:
+    """binary payload → feature vector via mapInPandas (Arrow batches).
+
+    Real decode (PIL/libav) is not available in this container — the
+    ``fake=False`` path raises, documenting exactly where a real decoder
+    plugs in. Batch shape, schema, and partition behavior are identical
+    either way, which is what the tests pin down.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/libav; not shipped here"
+                )
+            feats = [ _fake_feature(p, dim).tolist() for p in pdf["payload"] ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """video rows → one row per sampled frame timestamp (explode, JVM-side)."""
+    frames = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+        F.lit(every_ms).cast("long"),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_ts_ms", F.explode(frames))
+        .select("media_id", "frame_ts_ms", "payload")
+    )
