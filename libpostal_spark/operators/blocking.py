@@ -116,33 +116,44 @@ def blocking_keys(rep_sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """Key stream → distinct candidate pairs (fid1 < fid2, sources agg'd).
 
-    Returns (pairs, bucket_stats). bucket_stats rows: kind, n_buckets,
-    n_oversized, max_size — the no-silent-caps ledger.
-    """
-    counts = keys.groupBy("kind", "kid", "khash").agg(F.count("*").alias("cnt"))
-    bucket_stats = counts.groupBy("kind").agg(
-        F.count("*").alias("n_buckets"),
-        F.sum((F.col("cnt") > cfg.max_bucket_size).cast("long")).alias("n_oversized"),
-        F.max("cnt").alias("max_size"),
-    )
+    Single-window design: the explicit repartition by bucket key (the north
+    rule's "repartition by band bucket") is the ONE shuffle; the unordered
+    window over the same key reuses its hash partitioning to compute
+    per-bucket count, min-fid representative, and member set in a single
+    pass. Pairing is then a pure map:
 
-    keyed = keys.join(counts.filter(F.col("cnt") > 1), ["kind", "kid", "khash"])
+      * bucket ≤ max_bucket_size → all pairs via one explode of the member
+        set (each unordered pair surfaces exactly once via the fid1<fid2
+        filter)
+      * bucket  > max_bucket_size → star pairs to the bucket's min fid:
+        O(n) rows, no quadratic blowup; component connectivity is preserved
+        because members of a genuinely-similar oversized bucket all verify
+        against the rep and merge in CC
+
+    Returns (pairs, bucket_stats). bucket_stats (lazily derived from the
+    same window output) is the no-silent-caps ledger: kind, n_buckets,
+    n_oversized, max_size.
+    """
+    n_part = keys.sparkSession.sparkContext.defaultParallelism
+    keys = keys.repartition(n_part, "kind", "kid", "khash")
+    w = Window.partitionBy("kind", "kid", "khash")
+    keyed = (
+        keys.withColumn("cnt", F.count("*").over(w))
+        .withColumn("rep", F.min("fid").over(w))
+        .filter(F.col("cnt") > 1)
+    )
 
     small = keyed.filter(F.col("cnt") <= cfg.max_bucket_size)
-    grouped = small.groupBy("kind", "kid", "khash").agg(
-        F.sort_array(F.collect_set("fid")).alias("fids")
-    )
     small_pairs = (
-        grouped.select("kind", F.explode("fids").alias("fid1"), "fids")
-        .select("kind", "fid1", F.explode("fids").alias("fid2"))
+        small.withColumn("fids", F.collect_set("fid").over(w))
+        .select("kind", F.col("fid").alias("fid1"), F.explode("fids").alias("fid2"))
         .filter(F.col("fid1") < F.col("fid2"))
     )
 
-    big = keyed.filter(F.col("cnt") > cfg.max_bucket_size)
-    big_rep = big.groupBy("kind", "kid", "khash").agg(F.min("fid").alias("rep"))
     big_pairs = (
-        big.join(big_rep, ["kind", "kid", "khash"])
-        .filter(F.col("fid") != F.col("rep"))
+        keyed.filter(
+            (F.col("cnt") > cfg.max_bucket_size) & (F.col("fid") != F.col("rep"))
+        )
         .select(
             "kind",
             F.least("rep", "fid").alias("fid1"),
@@ -154,5 +165,16 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
         small_pairs.unionByName(big_pairs)
         .groupBy("fid1", "fid2")
         .agg(F.min("kind").alias("source"), F.collect_set("kind").alias("sources"))
+    )
+
+    bucket_stats = (
+        keyed.groupBy("kind", "kid", "khash")
+        .agg(F.first("cnt").alias("cnt"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("cnt") > cfg.max_bucket_size).cast("long")).alias("n_oversized"),
+            F.max("cnt").alias("max_size"),
+        )
     )
     return pairs, bucket_stats

@@ -72,17 +72,30 @@ def connected_components(
     component = lexicographic min fid of the component. Only nodes appearing
     in at least one pair are labeled; callers union in singletons (see
     ``label_universe``).
+
+    Each round is lazily localCheckpoint'ed — the fingerprint action
+    materializes it (one job per round) and cuts lineage so the iterative
+    plan never grows. Edge partitioning is re-derived from the live edge
+    count so late rounds (few edges) don't pay early-round task overhead.
     """
     edges = _normalize(
         pairs.select(F.col("fid1").alias("a"), F.col("fid2").alias("b"))
     )
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+
+    def _materialize(df: DataFrame, n_edges: int | None) -> DataFrame:
+        if not checkpoint:
+            return df
+        if n_edges is not None:
+            # ~500k edges per partition keeps tasks coarse; floor of 2
+            p = max(2, min(df.sparkSession.sparkContext.defaultParallelism,
+                           n_edges // 500_000 + 1))
+            df = df.repartition(p)
+        return df.localCheckpoint(eager=False)
+
+    edges = _materialize(edges, None)
     prev = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _normalize(_small_star(_large_star(edges)))
-        if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
+        edges = _materialize(_normalize(_small_star(_large_star(edges))), prev[0])
         cur = _fingerprint(edges)
         if cur == prev:
             break

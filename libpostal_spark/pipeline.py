@@ -60,10 +60,16 @@ class DedupPipeline:
             else NullStore(spark, cfg.config_hash)
         )
 
-    def run(self, files: DataFrame, persist_intermediate: bool = True) -> PipelineResult:
+    def run(
+        self,
+        files: DataFrame,
+        persist_intermediate: bool = True,
+        collect_bucket_stats: bool = False,
+    ) -> PipelineResult:
         cfg = self.cfg
+        in_memory = persist_intermediate and isinstance(self.store, NullStore)
         sigs = self.store.stage("signatures", lambda: blocking.signatures(files, cfg))
-        if persist_intermediate and isinstance(self.store, NullStore):
+        if in_memory:
             sigs = sigs.persist()
 
         rep_sigs, exact_edges = blocking.exact_groups(sigs)
@@ -75,14 +81,30 @@ class DedupPipeline:
         confirmed = self.store.stage(
             "confirmed_pairs", lambda: verify.verified_pairs(pairs, rep_sigs, cfg)
         )
-        bucket_stats = [r.asDict() for r in bucket_stats_df.collect()]
+        if in_memory:
+            confirmed = confirmed.persist()
+        bucket_stats = (
+            [r.asDict() for r in bucket_stats_df.collect()]
+            if collect_bucket_stats
+            else []
+        )
 
-        edges = exact_edges.select("fid1", "fid2").unionByName(
-            confirmed.select("fid1", "fid2")
+        # CC runs over REPRESENTATIVES only: confirmed pairs are rep↔rep by
+        # construction, so identical-content members (incl. the boilerplate
+        # skew mass) never enter the iterative loop — they inherit their
+        # rep's label with one join afterwards.
+        rep_labels = self.store.stage(
+            "components", lambda: cluster.connected_components(confirmed)
         )
-        labels = self.store.stage(
-            "components", lambda: cluster.connected_components(edges)
+        member_labels = (
+            exact_edges.select("fid1", "fid2")
+            .join(rep_labels.withColumnRenamed("fid", "fid1"), "fid1", "left")
+            .select(
+                F.col("fid2").alias("fid"),
+                F.coalesce("component", "fid1").alias("component"),
+            )
         )
+        labels = rep_labels.unionByName(member_labels)
         clusters = cluster.label_universe(labels, sigs).withColumn(
             "is_canonical", (F.col("fid") == F.col("component"))
         )
