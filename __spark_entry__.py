@@ -124,7 +124,7 @@ def _q_signatures(spark, sf_dir):
     return sigs.select(
         F.col("path").cast("long").alias("doc_id"),
         "n_tokens",
-        F.size("shingles").alias("n_shingles"),
+        "n_shingles",
         "simhash",
         F.size("bands").alias("n_bands"),
     )

@@ -72,6 +72,35 @@ def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
     )
 
 
+def pair_jaccard_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Series:
+    """Exact shingle-set Jaccard for aligned canon-string pairs.
+
+    Batch-dedups the union of both columns (a representative appearing in
+    many candidate pairs is shingled once), then intersects per pair.
+    Semantics identical to jaccard(shingle_sets(c1), shingle_sets(c2)).
+    """
+    from . import hashing as H
+
+    n = len(c1)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    all_canon = pd.concat([c1, c2], ignore_index=True).fillna("")
+    uniq, inv = np.unique(all_canon.to_numpy(dtype=object), return_inverse=True)
+    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed)
+    vals, off = H.shingle_sets(flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc)
+    sets = [vals[off[i] : off[i + 1]] for i in range(len(uniq))]
+    out = np.empty(n, dtype=np.float64)
+    i1, i2 = inv[:n], inv[n:]
+    for i in range(n):
+        a, b = sets[i1[i]], sets[i2[i]]
+        if len(a) == 0 and len(b) == 0:
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[i] = inter / (len(a) + len(b) - inter)
+    return pd.Series(out)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-distinct shingle arrays (tests/goldens).
 

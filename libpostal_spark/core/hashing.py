@@ -183,17 +183,42 @@ def simhash_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     out = np.zeros(n_rows, dtype=U64)
     if len(s) == 0:
         return out.view(np.int64)
-    # little-endian byte view + little bitorder ⇒ column j == bit j of the
-    # uint64 (same semantics as a shift-and-mask unpack, ~10× cheaper)
-    bits = np.unpackbits(s.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    nonempty = offsets[:-1] < offsets[1:]
-    starts = offsets[:-1][nonempty]
-    sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)         # n'×64
-    counts = (offsets[1:] - offsets[:-1])[nonempty][:, None]
-    majority = (2 * sums) > counts
     shifts = np.arange(64, dtype=U64)
-    vals = (majority.astype(U64) << shifts[None, :]).sum(axis=1, dtype=U64)
-    out[nonempty] = vals
+    counts_all = offsets[1:] - offsets[:-1]
+    # chunk over rows so the int32 cumsum stays ~128 MB; segment bit-sums come
+    # from cumsum differences (SIMD-friendly) — np.add.reduceat along axis 0
+    # with dtype promotion is ~100× slower, never use it here
+    chunk_elems = 1 << 19
+    r0 = 0
+    while r0 < n_rows:
+        r1 = r0
+        while r1 < n_rows and (offsets[r1 + 1] - offsets[r0]) <= chunk_elems:
+            r1 += 1
+        r1 = max(r1, r0 + 1)  # a single huge row still forms one chunk
+        lo, hi = offsets[r0], offsets[r1]
+        if hi > lo:
+            # little-endian byte view + little bitorder ⇒ column j == bit j;
+            # transpose to (64, m) contiguous so each bit's cumsum runs over
+            # a contiguous row (axis-0 cumsum on (m, 64) strides terribly)
+            bits = np.unpackbits(
+                s[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            bits_t = np.ascontiguousarray(bits.T)                 # 64×m
+            csum = bits_t.cumsum(axis=1, dtype=np.int32)          # 64×m
+            local = offsets[r0 : r1 + 1] - lo
+            ends = local[1:]
+            starts = local[:-1]
+            seg = np.zeros((64, r1 - r0), dtype=np.int32)
+            nz_end = ends > 0
+            seg[:, nz_end] = csum[:, ends[nz_end] - 1]
+            nz_start = starts > 0
+            seg[:, nz_start] -= csum[:, starts[nz_start] - 1]
+            cnts = counts_all[r0:r1][None, :]
+            majority = (2 * seg) > cnts                           # 64×n
+            vals = (majority.astype(U64) << shifts[:, None]).sum(axis=0, dtype=U64)
+            nonempty = counts_all[r0:r1] > 0
+            out[r0:r1][nonempty] = vals[nonempty]
+        r0 = r1
     return out.view(np.int64)
 
 

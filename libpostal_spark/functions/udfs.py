@@ -1,10 +1,18 @@
 """Pandas UDF wrappers around the numpy cores.
 
-The engine's entire Python surface is these two vectorized UDFs (plus the
-grouped-map substring verifier in operators/verify.py) — everything else is
-JVM-side DataFrame expressions. This mirrors how the reference is "one big
-UDF library" consumed from a MapReduce driver (SURVEY.md §2.9), but batched
-over Arrow instead of row-at-a-time C calls.
+The engine's entire Python surface is these vectorized UDFs — everything
+else is JVM-side DataFrame expressions. This mirrors how the reference is
+"one big UDF library" consumed from a MapReduce driver (SURVEY.md §2.9), but
+batched over Arrow instead of row-at-a-time C calls.
+
+Design note (scale): the featurize UDF emits only FIXED-WIDTH features —
+band hashes, simhash, simhash table keys, winnow fingerprints, counts. The
+full shingle set (KBs per row) is never shipped through Arrow, cached, or
+shuffled; the verify stage re-derives shingle sets from canon strings for
+just the candidate pairs (see make_pair_jaccard_udf). At 10^12 rows this is
+the difference between a ~300 B/row and a ~10 KB/row signatures table. The
+raw 128-perm MinHash signature can be emitted for debugging/parity with
+FIXTURES.md §4 via emit_minhash=True.
 """
 
 from __future__ import annotations
@@ -18,19 +26,21 @@ from pyspark.sql import types as T
 
 from ..config import PipelineConfig
 from ..core.canonicalize import canonicalize_batch
-from ..core.featurize import featurize
+from ..core.featurize import featurize, pair_jaccard_batch
 
-FEATURE_SCHEMA = T.StructType(
-    [
+
+def feature_schema(emit_minhash: bool = False) -> T.StructType:
+    fields = [
         T.StructField("n_tokens", T.IntegerType()),
-        T.StructField("shingles", T.ArrayType(T.LongType())),
-        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("n_shingles", T.IntegerType()),
         T.StructField("simhash", T.LongType()),
         T.StructField("bands", T.ArrayType(T.LongType())),
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
         T.StructField("winnow", T.ArrayType(T.LongType())),
     ]
-)
+    if emit_minhash:
+        fields.append(T.StructField("minhash", T.ArrayType(T.LongType())))
+    return T.StructType(fields)
 
 
 def make_canonicalize_udf():
@@ -45,23 +55,56 @@ def make_canonicalize_udf():
     return canonicalize_udf
 
 
-def make_featurize_udf(cfg: PipelineConfig):
-    """canon:string -> struct of every signature feature (one Arrow pass)."""
+def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
+    """canon:string -> struct of fixed-width signature features (one pass).
 
-    @F.pandas_udf(FEATURE_SCHEMA)
+    Set LIBPOSTAL_SPARK_UDF_LOG=/path to append per-batch worker timings
+    (pid, rows, seconds) — the diagnostic for cold-worker page-fault storms.
+    """
+
+    @F.pandas_udf(feature_schema(emit_minhash))
     def featurize_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import os as _os
+        import time as _time
+
+        log_path = _os.environ.get("LIBPOSTAL_SPARK_UDF_LOG")
         for canon in it:
+            _t0 = _time.time()
             f = featurize(canon, cfg)
-            yield pd.DataFrame(
-                {
-                    "n_tokens": f.n_tokens,
-                    "shingles": f.shingles,
-                    "minhash": list(f.minhash.view(np.int64)),
-                    "simhash": f.simhash,
-                    "bands": list(f.bands),
-                    "simhash_keys": list(f.simhash_keys),
-                    "winnow": f.winnow,
-                }
-            )
+            out = {
+                "n_tokens": f.n_tokens,
+                "n_shingles": np.asarray(
+                    [len(s) for s in f.shingles], dtype=np.int32
+                ),
+                "simhash": f.simhash,
+                "bands": list(f.bands),
+                "simhash_keys": list(f.simhash_keys),
+                "winnow": f.winnow,
+            }
+            if emit_minhash:
+                out["minhash"] = list(f.minhash.view(np.int64))
+            if log_path:
+                with open(log_path, "a") as _lg:
+                    _lg.write(
+                        f"{_os.getpid()} featurize n={len(canon)} dt={_time.time() - _t0:.2f}\n"
+                    )
+            yield pd.DataFrame(out)
 
     return featurize_udf
+
+
+def make_pair_jaccard_udf(cfg: PipelineConfig):
+    """(canon1, canon2) -> exact shingle-set Jaccard per candidate pair.
+
+    The pairwise-confirm operator (analog of /root/reference/src/jaccard.c +
+    the expansion-intersection of src/dedupe.c:13-100). Shingle sets are
+    re-derived per batch with per-batch dedup of repeated canon strings, so
+    a representative occurring in many pairs is featurized once.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for c1, c2 in it:
+            yield pair_jaccard_batch(c1, c2, cfg)
+
+    return pair_jaccard_udf

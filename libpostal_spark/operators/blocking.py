@@ -46,27 +46,38 @@ def with_ids(files: DataFrame) -> DataFrame:
     ).withColumn("sha256", F.sha2(F.col("content").cast("binary"), 256))
 
 
-def signatures(files: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """files → one row per fid with canon + every signature feature."""
+def signatures(
+    files: DataFrame, cfg: PipelineConfig, emit_minhash: bool = False
+) -> DataFrame:
+    """files → one row per fid: canon text + fixed-width signature features.
+
+    Shingle sets are deliberately NOT materialized (see
+    functions/udfs.py design note) — verify re-derives them per candidate
+    pair from `canon`. emit_minhash=True adds the raw 128-perm signature
+    column for debugging/FIXTURES §4 parity.
+    """
     canon_udf = make_canonicalize_udf()
-    feat_udf = make_featurize_udf(cfg)
+    feat_udf = make_featurize_udf(cfg, emit_minhash)
     df = with_ids(files)
     df = df.withColumn("canon", canon_udf(F.col("content")))
     df = df.withColumn("f", feat_udf(F.col("canon")))
-    return df.select(
+    cols = [
         "fid",
         "sha256",
         "repo",
         "path",
         "lang",
+        "canon",
         F.col("f.n_tokens").alias("n_tokens"),
-        F.col("f.shingles").alias("shingles"),
-        F.col("f.minhash").alias("minhash"),
+        F.col("f.n_shingles").alias("n_shingles"),
         F.col("f.simhash").alias("simhash"),
         F.col("f.bands").alias("bands"),
         F.col("f.simhash_keys").alias("simhash_keys"),
         F.col("f.winnow").alias("winnow"),
-    ).withColumn("config_hash", F.lit(cfg.config_hash))
+    ]
+    if emit_minhash:
+        cols.append(F.col("f.minhash").alias("minhash"))
+    return df.select(*cols).withColumn("config_hash", F.lit(cfg.config_hash))
 
 
 def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -35,25 +35,26 @@ def verified_pairs(
     The two joins shuffle on fid — at scale, rep_sigs is bucketed by fid so
     both probes co-locate; AQE handles residual skew.
     """
+    from ..functions.udfs import make_pair_jaccard_udf
+
     s1 = rep_sigs.select(
         F.col("fid").alias("fid1"),
-        F.col("shingles").alias("sh1"),
+        F.col("canon").alias("canon1"),
         F.col("winnow").alias("wn1"),
     )
     s2 = rep_sigs.select(
         F.col("fid").alias("fid2"),
-        F.col("shingles").alias("sh2"),
+        F.col("canon").alias("canon2"),
         F.col("winnow").alias("wn2"),
     )
     joined = pairs.join(s1, "fid1").join(s2, "fid2")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-        F.lit(1.0)
-    )
-    out = joined.withColumn("jaccard", jac).withColumn(
+    # winnow overlap is checked JVM-side on the stored fingerprints (a shared
+    # fingerprint IS an exact >=winnow_window-token run w.h.p.); exact Jaccard
+    # runs in one Arrow-batched pair UDF over the canon strings.
+    jac_udf = make_pair_jaccard_udf(cfg)
+    out = joined.withColumn(
         "substring_hit", F.arrays_overlap("wn1", "wn2")
-    )
+    ).withColumn("jaccard", jac_udf(F.col("canon1"), F.col("canon2")))
     confirmed = out.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)) | F.col("substring_hit")
     )

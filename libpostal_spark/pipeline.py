@@ -70,9 +70,16 @@ class DedupPipeline:
         in_memory = persist_intermediate and isinstance(self.store, NullStore)
         sigs = self.store.stage("signatures", lambda: blocking.signatures(files, cfg))
         if in_memory:
+            # persist AND materialize eagerly: AQE launches independent plan
+            # subtrees concurrently, and a cold cache at that point makes
+            # every subtree recompute the whole UDF chain (observed 8×
+            # duplicated featurize stages). One count here = one computation.
             sigs = sigs.persist()
+            sigs.count()
 
         rep_sigs, exact_edges = blocking.exact_groups(sigs)
+        if in_memory:
+            rep_sigs = rep_sigs.persist()  # probed by 3 key families + verify ×2
         keys = self.store.stage(
             "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg)
         )
@@ -83,6 +90,7 @@ class DedupPipeline:
         )
         if in_memory:
             confirmed = confirmed.persist()
+            confirmed.count()  # materialize before CC's concurrent first action
         bucket_stats = (
             [r.asDict() for r in bucket_stats_df.collect()]
             if collect_bucket_stats

@@ -7,12 +7,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tune_malloc() -> None:
+    """Keep large numpy temps on the reusable glibc heap instead of mmap.
+
+    Fresh mmap pages pay first-touch fault cost on EVERY pandas-UDF batch
+    (numpy frees >128K buffers back to the kernel by default); measured ~10×
+    slowdown of the featurize hot loop in this environment. Must run before
+    the JVM gateway spawns so Python workers inherit the env.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483648")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
+
+
 def get_spark(
     app_name: str = "libpostal_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _tune_malloc()
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:
@@ -29,7 +42,7 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

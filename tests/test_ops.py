@@ -1,0 +1,158 @@
+"""Tests for the training-data operators: textstats, dedup-over-documents,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from libpostal_spark.functions import textstats as TS
+from libpostal_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the quick brown fox and the lazy dog",
+                "the quick brown fox and the lazy dog",   # exact dup of 0
+                "el perro de la casa y el gato de la calle",
+                "completely different words entirely here",
+                "",
+            ],
+            "lang": ["en", "en", "es", "en", "en"],
+            "source": ["s0", "s1", "s0", "s0", "s0"],
+            "n_chars": [37, 37, 40, 40, 0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", TS.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 8
+    assert got[4] == 0
+
+
+def test_exact_dup_groups(spark, docs):
+    rows = dedup.exact_dup_groups(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 2
+    assert rows[0]["canonical_doc_id"] == 0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", TS.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[2] == "es"
+    assert got[4] == "und"
+
+
+def test_stopword_and_quality_bounds(spark, docs):
+    rows = docs.select(
+        TS.stopword_ratio(F.col("text")).alias("sr"),
+        TS.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["sr"] <= 1.0
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_ws_invariant(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("A B C",), ("a b c",)], ["text"]
+    ).select(TS.norm_fingerprint(F.col("text")).alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    rows = {
+        (r["doc_id1"], r["doc_id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert rows[(2, 3)] == 0.0
+
+
+def test_minhash_clusters_docs(spark, docs):
+    got = {r["doc_id"]: r["component"] for r in dedup.minhash_clusters(spark, docs).collect()}
+    assert got[0] == got[1]          # exact dups share a component
+    assert got[2] != got[3]
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0          # same direction as query → cos 1.0
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [v.tolist() for v in vecs]}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_topk(spark, embs):
+    df, vecs = embs
+    top = similarity.brute_force_topk(df, [float(x) for x in vecs[0]], k=3).collect()
+    assert {top[0]["vec_id"], top[1]["vec_id"]} == {0, 7}
+    assert top[0]["cos_sim"] == 1.0 and top[1]["cos_sim"] == 1.0
+    # exact agreement with numpy
+    want = vecs.astype(np.float64) @ vecs[0].astype(np.float64)
+    want = want / (np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(vecs[0].astype(np.float64)))
+    got3 = round(float(want[top[2]["vec_id"]]), 4)
+    assert abs(top[2]["cos_sim"] - got3) < 1e-9
+
+
+def test_lsh_topk_contains_identical(spark, embs):
+    df, vecs = embs
+    top = similarity.lsh_topk(df, [float(x) for x in vecs[0]], k=3, n_bits=8).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 7 in ids     # identical-direction vectors share every hyperplane sign
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_decode_plumbing(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [b"abc", b""],
+            "width": [4, 4],
+            "height": [4, 4],
+            "duration_ms": [0, 0],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    out = multimodal.decode_image_features(media, dim=4, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[2]["n_bytes"] == 0
+    assert len(rows[1]["feature"]) == 4
+    # deterministic: same payload → same feature
+    out2 = {r["media_id"]: r["feature"] for r in multimodal.decode_image_features(media, dim=4, fake=True).collect()}
+    assert out2[1] == rows[1]["feature"]
+
+
+def test_media_decode_real_path_raises(spark):
+    pdf = pd.DataFrame(
+        {"media_id": [1], "kind": ["image"], "payload": [b"x"],
+         "width": [1], "height": [1], "duration_ms": [0]}
+    )
+    media = spark.createDataFrame(pdf)
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(media, dim=4, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    pdf = pd.DataFrame(
+        {"media_id": [1], "kind": ["video"], "payload": [b"v"],
+         "width": [0], "height": [0], "duration_ms": [3500]}
+    )
+    media = spark.createDataFrame(pdf)
+    rows = multimodal.frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
