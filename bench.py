@@ -73,19 +73,22 @@ def run_pipeline(spark, path: str, n_part: int, warmup: bool = True) -> tuple[fl
         .persist()
     )
     n = files.count()  # materialize input outside the timed region
-    runs = (2 if warmup else 1)
-    dt = 0.0
+    runs = (3 if warmup else 1)
+    times = []
     for i in range(runs):
         t0 = time.time()
         res = DedupPipeline(spark, CFG).run(files)
         res.clusters.count()
-        dt = time.time() - t0
+        times.append(time.time() - t0)
         for df in (res.signatures, res.confirmed):
             try:
                 df.unpersist()
             except Exception:
                 pass
     files.unpersist()
+    # min of the warm runs: this VM's page-fault storms add heavy-tailed
+    # noise; the minimum is the least-interfered estimate of steady state
+    dt = min(times[1:]) if warmup else times[0]
     return dt, n
 
 

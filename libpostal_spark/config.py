@@ -47,6 +47,14 @@ class PipelineConfig:
     max_bucket_size: int = 64    # LSH buckets larger than this pair star-wise, not all-pairs
     shuffle_partitions: int = 32
 
+    # --- clustering ---
+    # confirmed-pair sets at or below this size cluster via driver-side
+    # union-find (one collect); larger sets run distributed
+    # large-star/small-star. Post-exact-contraction pair counts are tiny
+    # relative to input rows, so this threshold is rarely exceeded below
+    # ~10^8 input files.
+    cc_driver_max_edges: int = 2_000_000
+
     # --- misc ---
     seed: int = 42
     checkpoint_dir: str = "/tmp/libpostal_spark_ckpt"
@@ -67,6 +75,7 @@ class PipelineConfig:
         d = asdict(self)
         d.pop("checkpoint_dir")          # location is not semantics
         d.pop("shuffle_partitions")      # parallelism must not change results
+        d.pop("cc_driver_max_edges")     # CC routing must not change results
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -31,6 +31,7 @@ from ..core.featurize import featurize, pair_jaccard_batch
 
 def feature_schema(emit_minhash: bool = False) -> T.StructType:
     fields = [
+        T.StructField("canon", T.StringType()),
         T.StructField("n_tokens", T.IntegerType()),
         T.StructField("n_shingles", T.IntegerType()),
         T.StructField("simhash", T.LongType()),
@@ -56,7 +57,11 @@ def make_canonicalize_udf():
 
 
 def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
-    """canon:string -> struct of fixed-width signature features (one pass).
+    """content:string -> struct(canon + fixed-width signature features).
+
+    Canonicalization and featurization run in ONE Arrow pass — the raw
+    content crosses into Python once and only the (smaller) canon string
+    plus fixed-width features cross back.
 
     Set LIBPOSTAL_SPARK_UDF_LOG=/path to append per-batch worker timings
     (pid, rows, seconds) — the diagnostic for cold-worker page-fault storms.
@@ -68,10 +73,12 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
         import time as _time
 
         log_path = _os.environ.get("LIBPOSTAL_SPARK_UDF_LOG")
-        for canon in it:
+        for content in it:
             _t0 = _time.time()
+            canon = canonicalize_batch(content)
             f = featurize(canon, cfg)
             out = {
+                "canon": canon,
                 "n_tokens": f.n_tokens,
                 "n_shingles": np.asarray(
                     [len(s) for s in f.shingles], dtype=np.int32

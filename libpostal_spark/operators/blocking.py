@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..functions.udfs import make_canonicalize_udf, make_featurize_udf
+from ..functions.udfs import make_featurize_udf
 
 KIND_BAND = 0
 KIND_SIMHASH = 1
@@ -56,18 +56,16 @@ def signatures(
     pair from `canon`. emit_minhash=True adds the raw 128-perm signature
     column for debugging/FIXTURES §4 parity.
     """
-    canon_udf = make_canonicalize_udf()
     feat_udf = make_featurize_udf(cfg, emit_minhash)
     df = with_ids(files)
-    df = df.withColumn("canon", canon_udf(F.col("content")))
-    df = df.withColumn("f", feat_udf(F.col("canon")))
+    df = df.withColumn("f", feat_udf(F.col("content")))
     cols = [
         "fid",
         "sha256",
         "repo",
         "path",
         "lang",
-        "canon",
+        F.col("f.canon").alias("canon"),
         F.col("f.n_tokens").alias("n_tokens"),
         F.col("f.n_shingles").alias("n_shingles"),
         F.col("f.simhash").alias("simhash"),

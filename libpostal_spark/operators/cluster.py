@@ -110,6 +110,51 @@ def connected_components(
     return children.unionByName(roots).distinct()
 
 
+def connected_components_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find on the driver for SMALL confirmed-pair sets.
+
+    The confirmed-pair graph after the exact-dedup contraction is orders of
+    magnitude smaller than the input (only near-dup representative links);
+    below ``PipelineConfig.cc_driver_max_edges`` it fits trivially on the
+    driver and a single collect + union-find beats ~10 distributed rounds of
+    shuffle jobs. Same output contract as ``connected_components``.
+    """
+    rows = pairs.select("fid1", "fid2").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r["fid1"]), find(r["fid2"])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = set()
+    for r in rows:
+        nodes.add(r["fid1"])
+        nodes.add(r["fid2"])
+    out = [(n, find(n)) for n in nodes]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(out, schema="fid string, component string")
+
+
+def connected_components_auto(
+    pairs: DataFrame, n_edges: int | None, driver_max_edges: int
+) -> DataFrame:
+    """Route to driver union-find or distributed large/small-star by size."""
+    if n_edges is None:
+        n_edges = pairs.count()
+    if n_edges <= driver_max_edges:
+        return connected_components_driver(pairs)
+    return connected_components(pairs)
+
+
 def label_universe(labels: DataFrame, universe: DataFrame) -> DataFrame:
     """Left-join labels onto the full fid universe; unlabeled rows become
     singleton components (component = own fid)."""

@@ -88,9 +88,10 @@ class DedupPipeline:
         confirmed = self.store.stage(
             "confirmed_pairs", lambda: verify.verified_pairs(pairs, rep_sigs, cfg)
         )
+        n_confirmed = None
         if in_memory:
             confirmed = confirmed.persist()
-            confirmed.count()  # materialize before CC's concurrent first action
+            n_confirmed = confirmed.count()  # materialize before CC fan-out
         bucket_stats = (
             [r.asDict() for r in bucket_stats_df.collect()]
             if collect_bucket_stats
@@ -102,7 +103,10 @@ class DedupPipeline:
         # skew mass) never enter the iterative loop — they inherit their
         # rep's label with one join afterwards.
         rep_labels = self.store.stage(
-            "components", lambda: cluster.connected_components(confirmed)
+            "components",
+            lambda: cluster.connected_components_auto(
+                confirmed, n_confirmed, cfg.cc_driver_max_edges
+            ),
         )
         member_labels = (
             exact_edges.select("fid1", "fid2")
