@@ -13,8 +13,9 @@ Phases:
   2. per-query timings of the operator queries from __spark_entry__ at the
      driver-provided sf dir.
   3. scaling-efficiency evidence (sandbox proxy for the north rule's N vs 4N
-     executors): the identical pipeline job at local[8] and local[32] on the
-     same input; efficiency = (T_8 / T_32) / 4.
+     executors): the identical pipeline job at local[N] and local[4N] on the
+     same input; efficiency = (T_N / T_4N) / 4. Default N=2 (see phase-3
+     comment for the substrate rationale).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -93,6 +94,9 @@ def run_pipeline(spark, path: str, n_part: int, warmup: bool = True) -> tuple[fl
 
 
 def main() -> None:
+    # modest fixed JVM heap: this VM's first-touch page faults are so slow
+    # that a large lazily-grown heap costs more than spills would
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")

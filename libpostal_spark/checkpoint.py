@@ -92,6 +92,18 @@ class CheckpointStore:
         return out
 
 
+    def write_metrics(self) -> str | None:
+        """Persist the accumulated per-stage metrics ledger (FIXTURES.md §4)
+        as JSON next to the checkpoint tables. Returns the path."""
+        if not self.root:
+            return None
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, f"metrics_{self.config_hash}.json")
+        with open(path, "w") as f:
+            json.dump(self.metrics, f, indent=1)
+        return path
+
+
 class NullStore(CheckpointStore):
     """No-persistence store (tests / bench): every stage recomputes."""
 

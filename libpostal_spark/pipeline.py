@@ -120,6 +120,7 @@ class DedupPipeline:
         clusters = cluster.label_universe(labels, sigs).withColumn(
             "is_canonical", (F.col("fid") == F.col("component"))
         )
+        self.store.write_metrics()  # no-op for NullStore (no root)
         return PipelineResult(
             signatures=sigs,
             exact_edges=exact_edges,
