@@ -94,9 +94,6 @@ def run_pipeline(spark, path: str, n_part: int, warmup: bool = True) -> tuple[fl
 
 
 def main() -> None:
-    # modest fixed JVM heap: this VM's first-touch page faults are so slow
-    # that a large lazily-grown heap costs more than spills would
-    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -133,11 +130,16 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING", "1") != "0":
         n_lo = int(os.environ.get("BENCH_SCALE_N", "2"))
         n_hi = 4 * n_lo
-        times = {}
-        for n in (n_lo, n_hi):
-            s = get_spark(app_name=f"bench_scale_{n}", master=f"local[{n}]")
-            times[n], _ = run_pipeline(s, path, n)
-            s.stop()
+        # interleave configs across two rounds and keep each config's best:
+        # the VM's page-pool health drifts over a session, so a sequential
+        # A-then-B comparison biases against whichever runs later
+        times = {n_lo: float("inf"), n_hi: float("inf")}
+        for _round in range(2):
+            for n in (n_lo, n_hi):
+                s = get_spark(app_name=f"bench_scale_{n}", master=f"local[{n}]")
+                t, _ = run_pipeline(s, path, n)
+                times[n] = min(times[n], t)
+                s.stop()
         eff = (times[n_lo] / times[n_hi]) / 4.0
         scaling = {
             "cores_N": n_lo,

@@ -125,15 +125,16 @@ def blocking_keys(rep_sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """Key stream → distinct candidate pairs (fid1 < fid2, sources agg'd).
 
-    Single-window design: the explicit repartition by bucket key (the north
-    rule's "repartition by band bucket") is the ONE shuffle; the unordered
-    window over the same key reuses its hash partitioning to compute
-    per-bucket count, min-fid representative, and member set in a single
-    pass. Pairing is then a pure map:
+    Partition-aligned design: the explicit repartition by bucket key (the
+    north rule's "repartition by band bucket") is the one shuffle; the
+    unordered window over the same key reuses its hash partitioning to
+    compute per-bucket count and min-fid representative, and the
+    small-bucket self-join below rides the same partitioning (no join
+    exchange). Per-row memory is flat — no collect_set arrays anywhere, so
+    a pathological mega-bucket cannot blow an executor:
 
-      * bucket ≤ max_bucket_size → all pairs via one explode of the member
-        set (each unordered pair surfaces exactly once via the fid1<fid2
-        filter)
+      * bucket ≤ max_bucket_size → all pairs via the co-partitioned
+        self-join (fid1 < fid2 keeps each unordered pair once)
       * bucket  > max_bucket_size → star pairs to the bucket's min fid:
         O(n) rows, no quadratic blowup; component connectivity is preserved
         because members of a genuinely-similar oversized bucket all verify
@@ -152,11 +153,19 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
         .filter(F.col("cnt") > 1)
     )
 
-    small = keyed.filter(F.col("cnt") <= cfg.max_bucket_size)
+    # small buckets: co-partitioned self-join on the bucket key — both sides
+    # share the repartition exchange (ReusedExchange) and are already hash-
+    # distributed on the join key, so no further shuffle; per-row memory is
+    # flat (no collect_set arrays)
+    small = keyed.filter(F.col("cnt") <= cfg.max_bucket_size).select(
+        "kind", "kid", "khash", "fid"
+    )
+    lhs = small.alias("l")
+    rhs = small.alias("r")
     small_pairs = (
-        small.withColumn("fids", F.collect_set("fid").over(w))
-        .select("kind", F.col("fid").alias("fid1"), F.explode("fids").alias("fid2"))
-        .filter(F.col("fid1") < F.col("fid2"))
+        lhs.join(rhs, ["kind", "kid", "khash"])
+        .filter(F.col("l.fid") < F.col("r.fid"))
+        .select("kind", F.col("l.fid").alias("fid1"), F.col("r.fid").alias("fid2"))
     )
 
     big_pairs = (

@@ -1,0 +1,70 @@
+"""Structured-Streaming front door: incremental signature ingestion.
+
+The reference is batch-only ("designed to run in a MapReduce setting",
+/root/reference/README.md:641-642) — streaming is OUR extension for the
+continuously-arriving-repos case. The design keeps the batch pipeline as
+the single source of truth:
+
+  stream of files → foreachBatch:
+      S1 featurize the micro-batch (same UDF as batch)
+      append to the signatures checkpoint table
+      emit exact-dup matches against the already-seen sha256 set
+
+Full LSH re-blocking per micro-batch would re-pair the world every few
+seconds; the honest streaming contract is *signature ingestion + exact-dup
+short-circuit now, periodic batch re-cluster later* — exactly how the
+reference expects its host system to schedule dedup passes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators import blocking
+
+
+def signature_sink(
+    stream: DataFrame,
+    cfg: PipelineConfig,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """files stream → per-micro-batch featurize → append parquet signatures.
+
+    Returns the StreamingQuery. The sink table has the batch signatures
+    schema plus a `batch_id` lineage column (resume = max(batch_id)).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = blocking.signatures(batch_df, cfg).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        sigs.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def exact_dup_alerts(
+    spark: SparkSession, new_sigs_dir: str, seen_sigs_dir: str
+) -> DataFrame:
+    """Batch helper: which just-ingested rows exactly duplicate prior content
+    (sha256 equality — the streaming-time short-circuit; near-dup linking
+    happens in the periodic batch re-cluster)."""
+    new = spark.read.parquet(new_sigs_dir).select("fid", "sha256")
+    seen = spark.read.parquet(seen_sigs_dir).select(
+        F.col("fid").alias("seen_fid"), "sha256"
+    )
+    return new.join(seen, "sha256").filter(F.col("fid") != F.col("seen_fid"))

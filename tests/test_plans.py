@@ -1,0 +1,89 @@
+"""Physical-plan quality checks — the .explain discipline as tests.
+
+Pins the properties that matter at 100 TB: column pruning + filter pushdown
+reach the parquet scan, the blocking window reuses the explicit repartition
+(no second exchange), and whole-stage codegen covers the JVM-side verify
+expressions.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from libpostal_spark.functions import textstats as TS
+from libpostal_spark.operators import blocking
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", TS.token_count(F.col("text")).alias("n"))
+    plan = _plan(q)
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    # only the two referenced columns are read, not lang/source/n_chars
+    assert "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "n_chars" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_parquet_filter_pushdown(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+
+
+def test_blocking_window_reuses_repartition(spark, cfg):
+    """candidate_pairs' window must NOT add an exchange on top of the
+    explicit repartition by the same keys."""
+    keys = spark.createDataFrame(
+        [(f"f{i}", 0, 0, i % 7) for i in range(100)],
+        ["fid", "kind", "kid", "khash"],
+    )
+    pairs, _ = blocking.candidate_pairs(keys, cfg)
+    plan = _plan(pairs)
+    # the small-bucket self-join must ride on the bucket-key partitioning:
+    # every branch has exactly ONE exchange (the explicit repartition) and
+    # the join adds none of its own
+    n_exchanges_on_key = len(re.findall(r"hashpartitioning\(kind[^\n]*khash", plan))
+    n_windows = len(re.findall(r"\n\(\d+\) Window", plan))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # one exchange per windowed branch, none added by the join
+    assert n_exchanges_on_key == n_windows, (n_exchanges_on_key, n_windows)
+
+
+def test_verify_winnow_check_is_jvm_side(spark, cfg):
+    """arrays_overlap runs inside the JVM plan (no extra Python stage)."""
+    from libpostal_spark.operators import dedup, verify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    sigs = blocking.signatures(dedup.docs_as_files(docs), cfg)
+    rep, _ = blocking.exact_groups(sigs)
+    keys = blocking.blocking_keys(rep, cfg)
+    pairs, _ = blocking.candidate_pairs(keys, cfg)
+    out = verify.verified_pairs(pairs, rep, cfg)
+    plan = _plan(out)
+    assert "arrays_overlap" in plan          # JVM-side, no Python round-trip
+    assert "pair_jaccard_udf" in plan        # the one Arrow pair UDF
+
+
+def test_ann_bruteforce_single_stage(spark):
+    """cosine top-k is a pure column expression + TakeOrderedAndProject —
+    no Python, no join, one scan."""
+    from libpostal_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    top = similarity.brute_force_topk(embs, q, k=5)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,56 @@
+"""Streaming ingestion test: file-source stream → signature sink → resume."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from libpostal_spark import streaming
+from libpostal_spark.corpus import generate_corpus
+
+
+def test_stream_signature_ingestion(spark, cfg, tmp_path):
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    pdf = generate_corpus(n_base=30, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    spark.createDataFrame(pdf.iloc[:20]).write.mode("append").parquet(src)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.signature_sink(stream, cfg, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert {"fid", "sha256", "simhash", "bands", "batch_id"} <= set(got.columns)
+
+    # late arrivals: second availableNow pass picks up ONLY the new files
+    spark.createDataFrame(pdf.iloc[20:]).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = streaming.signature_sink(stream2, cfg, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(pdf)
+
+
+def test_exact_dup_alerts(spark, cfg, tmp_path):
+    seen_dir = str(tmp_path / "seen")
+    new_dir = str(tmp_path / "new")
+    pdf = generate_corpus(n_base=10, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    from libpostal_spark.operators import blocking
+
+    base = blocking.signatures(spark.createDataFrame(pdf), cfg)
+    base.write.parquet(seen_dir)
+    # re-ingest one identical content under a new identity
+    dup = pdf.iloc[[0]].copy()
+    dup["repo"] = "neworg/newrepo"
+    blocking.signatures(spark.createDataFrame(dup), cfg).write.parquet(new_dir)
+
+    alerts = streaming.exact_dup_alerts(spark, new_dir, seen_dir)
+    assert alerts.count() == 1
