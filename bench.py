@@ -104,19 +104,6 @@ def main() -> None:
     # phase 1: headline end-to-end
     e2e_sec, n_files = run_pipeline(spark, path, cpus)
 
-    # phase 2: operator queries at the sf dir
-    import __spark_entry__ as entrymod
-
-    qtimes: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-            qtimes[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # pragma: no cover
-            qtimes[name] = -1.0
-            print(f"query {name} failed: {ex}", file=sys.stderr)
-    qtimes["e2e_pipeline"] = round(e2e_sec, 3)
     spark.stop()
 
     # phase 3: scaling efficiency — the same job at N and 4N cores.
@@ -134,7 +121,7 @@ def main() -> None:
         # the VM's page-pool health drifts over a session, so a sequential
         # A-then-B comparison biases against whichever runs later
         times = {n_lo: float("inf"), n_hi: float("inf")}
-        for _round in range(2):
+        for _round in range(3):
             for n in (n_lo, n_hi):
                 s = get_spark(app_name=f"bench_scale_{n}", master=f"local[{n}]")
                 t, _ = run_pipeline(s, path, n)
@@ -151,6 +138,23 @@ def main() -> None:
             "speedup_N_to_4N": round(times[n_lo] / times[n_hi], 3),
             "efficiency_N_to_4N": round(eff, 3),
         }
+
+    # phase 2: operator queries at the sf dir (after scaling — query churn
+    # degrades this VM's page pool and would bias the A/B comparison)
+    spark = get_spark(app_name="bench_queries", master=f"local[{cpus}]")
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # pragma: no cover
+            qtimes[name] = -1.0
+            print(f"query {name} failed: {ex}", file=sys.stderr)
+    qtimes["e2e_pipeline"] = round(e2e_sec, 3)
+    spark.stop()
 
     out = {
         "metric": "minhash_to_cluster_e2e_wall",

@@ -28,6 +28,14 @@ class PipelineConfig:
     rows_per_band: int = 4       # r; b*r must equal num_perm
     # P(collide at jaccard t) = 1-(1-t^r)^b; at t=0.7, b=32,r=4 → 0.99985
 
+    # --- canonicalization options (analog of libpostal_normalize_options_t) ---
+    # abbrev → canonical token rewrites applied after tokenization (the code
+    # analog of address-dictionary expansion); empty by default — expanding
+    # e.g. ("cfg","config") equates identifiers that differ only by the
+    # abbreviation, exactly like "St" ≡ "Street" in the reference
+    token_expansions: tuple = ()
+    fold_numbers: bool = False   # numeric literals → '0' (digits→D analog)
+
     # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-186) ---
     jaccard_threshold: float = 0.7
 

@@ -55,7 +55,15 @@ def _nfkc(series: pd.Series) -> pd.Series:
     return series
 
 
-def canonicalize_batch(content: pd.Series, lang: pd.Series | None = None) -> pd.Series:
+_RE_NUMBER = re.compile(r"^\d+(?:\.\d+)?$")
+
+
+def canonicalize_batch(
+    content: pd.Series,
+    lang: pd.Series | None = None,
+    expansions: dict[str, str] | None = None,
+    fold_numbers: bool = False,
+) -> pd.Series:
     """Vectorized canonicalizer: pd.Series[str] → pd.Series[str] (canon form).
 
     Stages (each a whole-batch pandas op):
@@ -64,6 +72,12 @@ def canonicalize_batch(content: pd.Series, lang: pd.Series | None = None) -> pd.
       3. identifier case folding: camel boundaries → space, '_' → space
       4. lowercase
       5. tokenize + single-space join
+      6. optional token expansion via a dictionary (abbrev → canonical — the
+         code analog of the reference's address-dictionary expansion,
+         /root/reference/src/address_dictionary.c:286-311; shipped to
+         executors inside the UDF closure, the broadcast-join pattern)
+      7. optional number folding: numeric literals → '0' (the analog of the
+         reference's digits→D normalization, /root/reference/src/normalize.c:393-506)
     """
     s = content.fillna("").astype(str)
     s = _nfkc(s)
@@ -74,9 +88,22 @@ def canonicalize_batch(content: pd.Series, lang: pd.Series | None = None) -> pd.
     s = s.str.replace("_", " ", regex=False)
     s = s.str.lower()
     toks = s.str.findall(_RE_TOKEN)
+    if expansions or fold_numbers:
+        exp = expansions or {}
+
+        def rewrite(tt: list[str]) -> list[str]:
+            out = []
+            for t in tt:
+                t = exp.get(t, t)
+                if fold_numbers and _RE_NUMBER.match(t):
+                    t = "0"
+                out.append(t)
+            return out
+
+        toks = toks.map(rewrite)
     return toks.str.join(" ")
 
 
-def canonicalize_one(text: str) -> str:
+def canonicalize_one(text: str, **kw) -> str:
     """Single-string convenience wrapper (tests, goldens)."""
-    return canonicalize_batch(pd.Series([text])).iloc[0]
+    return canonicalize_batch(pd.Series([text]), **kw).iloc[0]

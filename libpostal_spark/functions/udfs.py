@@ -73,9 +73,12 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
         import time as _time
 
         log_path = _os.environ.get("LIBPOSTAL_SPARK_UDF_LOG")
+        expansions = dict(cfg.token_expansions) if cfg.token_expansions else None
         for content in it:
             _t0 = _time.time()
-            canon = canonicalize_batch(content)
+            canon = canonicalize_batch(
+                content, expansions=expansions, fold_numbers=cfg.fold_numbers
+            )
             f = featurize(canon, cfg)
             out = {
                 "canon": canon,

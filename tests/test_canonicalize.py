@@ -58,3 +58,19 @@ def test_batch_matches_single():
     batch = list(canonicalize_batch(pd.Series(texts)))
     single = [canonicalize_one(t) for t in texts]
     assert batch == single
+
+
+def test_token_expansion_dictionary():
+    # abbrev ↔ canonical equivalence, the "St" ≡ "Street" analog
+    exp = {"cfg": "config", "impl": "implementation"}
+    a = canonicalize_one("load_cfg(impl)", expansions=exp)
+    b = canonicalize_one("loadConfig(implementation)", expansions=exp)
+    assert a == b == "load config ( implementation )"
+
+
+def test_fold_numbers():
+    a = canonicalize_one("x = 31 + 2.5", fold_numbers=True)
+    b = canonicalize_one("x = 7 + 99.1", fold_numbers=True)
+    assert a == b == "x = 0 + 0"
+    # default keeps literals distinct
+    assert canonicalize_one("x = 31") != canonicalize_one("x = 7")
