@@ -28,7 +28,11 @@ from .core.featurize import featurize
 
 def exact_features(pdf: pd.DataFrame, cfg: PipelineConfig):
     """Driver-side featurize of a whole (small) corpus → dict fid→(set, set)."""
-    canon = canonicalize_batch(pdf["content"].reset_index(drop=True))
+    canon = canonicalize_batch(
+        pdf["content"].reset_index(drop=True),
+        expansions=dict(cfg.token_expansions) if cfg.token_expansions else None,
+        fold_numbers=cfg.fold_numbers,
+    )
     f = featurize(canon, cfg)
     fids = list(pdf["fid"])
     return {
