@@ -154,6 +154,41 @@ def _q_code_clusters(spark, sf_dir):
     return res.clusters.select("fid", "component", "is_canonical")
 
 
+def _q_token_freq_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _q_source_length_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.min(TS.token_count(F.col("text"))).alias("min_tokens"),
+        F.max(TS.token_count(F.col("text"))).alias("max_tokens"),
+    )
+
+
+def _q_dedup_rate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fp = TS.norm_fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(fp).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(fp).cast("double") / F.count("*"), 4
+        ).alias("dup_rate"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     media = docs.select(
@@ -183,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_clusters": _q_doc_clusters,
         "code_dedup_clusters": _q_code_clusters,
         "media_decode_features": _q_media_features,
+        "token_freq_topk": _q_token_freq_topk,
+        "source_length_stats": _q_source_length_stats,
+        "dedup_rate": _q_dedup_rate,
     }
 
 
@@ -312,6 +350,29 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(a.t || b.t))
                          ELSE 1.0 END, 4) AS jaccard
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "token_freq_topk": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                  FROM documents)
+            WHERE length(token) > 0
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 20
+        """,
+        "source_length_stats": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(length(text)), 4) AS avg_chars,
+                   CAST(min({_TOKCNT}) AS BIGINT) AS min_tokens,
+                   CAST(max({_TOKCNT}) AS BIGINT) AS max_tokens
+            FROM documents GROUP BY source
+        """,
+        "dedup_rate": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
+                   round(1.0 - CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)/count(*), 4) AS dup_rate
+            FROM documents
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,72 @@
+"""spark-submit entrypoint:
+
+    spark-submit --py-files libpostal_spark.zip -m libpostal_spark \
+        --input /path/to/files_table --output /path/to/out \
+        --checkpoint /path/to/ckpt [--format parquet|iceberg] [--k 5] ...
+
+Runs the full dedup pipeline (resumable via the checkpoint store) and writes
+the cluster-assignment table. On a cluster, --format iceberg reads/writes
+catalog tables; the sandbox fallback is parquet paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import PipelineConfig
+from .pipeline import DedupPipeline
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="libpostal_spark")
+    p.add_argument("--input", required=True, help="files table (parquet path or iceberg table)")
+    p.add_argument("--output", required=True, help="clusters output (parquet path or iceberg table)")
+    p.add_argument("--checkpoint", default=None, help="checkpoint root for resumable runs")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--master", default=None)
+    p.add_argument("--k", type=int, default=5, dest="k_shingle")
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.7, dest="jaccard_threshold")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    cfg = PipelineConfig(
+        k_shingle=args.k_shingle,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        jaccard_threshold=args.jaccard_threshold,
+        seed=args.seed,
+    )
+    spark = get_spark(app_name="libpostal_spark_job", master=args.master)
+    if args.format == "iceberg":
+        files = spark.read.format("iceberg").load(args.input)
+    else:
+        files = spark.read.parquet(args.input)
+
+    pipe = DedupPipeline(spark, cfg, checkpoint_root=args.checkpoint)
+    res = pipe.run(files, collect_bucket_stats=True)
+    if args.format == "iceberg":
+        res.clusters.writeTo(args.output).createOrReplace()
+    else:
+        res.clusters.write.mode("overwrite").parquet(args.output)
+
+    summary = dict(
+        config_hash=cfg.config_hash,
+        n_files=res.clusters.count(),
+        n_components=res.clusters.select("component").distinct().count(),
+        bucket_stats=res.bucket_stats,
+        metrics=res.metrics,
+    )
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
