@@ -199,7 +199,15 @@ def _q_media_features(spark, sf_dir):
         F.lit(64).alias("height"),
         F.lit(0).cast("long").alias("duration_ms"),
     )
-    return multimodal.decode_image_features(media, dim=8, fake=True)
+    feats = multimodal.decode_image_features(media, dim=8, fake=True)
+    # project harness-comparable scalars (the compare canonicalizer cannot
+    # sort array columns): first 4 feature components, rounded
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "n_bytes",
+        *[F.round(F.col("feature")[i].cast("double"), 4).alias(f"f{i}") for i in range(4)],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -228,34 +236,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKEN_RE = r"[a-zA-Z_][a-zA-Z0-9_]*|\d+(?:\.\d+)?|[^\sa-zA-Z0-9_]"
 
-_CANON_SQL = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       array_to_string(
+# NFKC twin (partial): DuckDB has no NFKC, so the oracle folds the fullwidth
+# ASCII block U+FF01-U+FF5E and the ideographic space U+3000 — the NFKC cases
+# a source-code corpus actually produces. Exotic NFKC forms (ligatures,
+# superscripts) would diverge; the sf corpora contain none (all-ASCII checked).
+_FW_FROM = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+_FW_TO = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _canon_expr(col: str) -> str:
+    """DuckDB twin of canonicalize_batch (NFKC-fullwidth → comments → camel
+    splits → underscores → lower → tokenize → join)."""
+    return f"""array_to_string(
          regexp_extract_all(
            lower(
              replace(
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(text, '/\\*.*?\\*/', ' ', 'gs'),
+                     regexp_replace(
+                       translate({col}, {_sql_quote(_FW_FROM)}, {_sql_quote(_FW_TO)}),
+                       '/\\*.*?\\*/', ' ', 'gs'),
                      '(//|#|--)[^\n]*', ' ', 'g'),
                    '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
                  '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
                '_', ' ')
            ),
            '{_TOKEN_RE}'),
-         ' ') AS canon
+         ' ')"""
+
+
+_CANON_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_canon_expr('text')} AS canon
 FROM documents
 """
 
 
 def _sw_count(word: str) -> str:
-    """SQL twin of textstats._word_occurrences."""
-    target = f" {word} "
+    """SQL twin of textstats._word_occurrences (token-based whole-word count)."""
     return (
-        f"CAST((length(' ' || lower(text) || ' ') - "
-        f"length(regexp_replace(' ' || lower(text) || ' ', '{target}', ' ', 'g')))"
-        f" / {len(target) - 1} AS BIGINT)"
+        f"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" t -> t = '{word}')) AS BIGINT)"
     )
 
 
@@ -372,6 +398,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
                    round(1.0 - CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)/count(*), 4) AS dup_rate
+            FROM documents
+        """,
+        "media_decode_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   round((('0x' || substr(sha256(text), 1, 2))::INT - 128) / 128.0, 4) AS f0,
+                   round((('0x' || substr(sha256(text), 3, 2))::INT - 128) / 128.0, 4) AS f1,
+                   round((('0x' || substr(sha256(text), 5, 2))::INT - 128) / 128.0, 4) AS f2,
+                   round((('0x' || substr(sha256(text), 7, 2))::INT - 128) / 128.0, 4) AS f3
             FROM documents
         """,
         "ann_cosine_topk": """

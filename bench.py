@@ -81,11 +81,7 @@ def run_pipeline(spark, path: str, n_part: int, warmup: bool = True) -> tuple[fl
         res = DedupPipeline(spark, CFG).run(files)
         res.clusters.count()
         times.append(time.time() - t0)
-        for df in (res.signatures, res.confirmed):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+        res.release()
     files.unpersist()
     # min of the warm runs: this VM's page-fault storms add heavy-tailed
     # noise; the minimum is the least-interfered estimate of steady state

@@ -104,9 +104,9 @@ def pair_jaccard_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-distinct shingle arrays (tests/goldens).
 
-    Production verify uses the column-native
-    ``size(array_intersect)/size(array_union)`` instead
-    (/root/reference/src/jaccard.c:3-69 is the scalar analog).
+    Production verify batches this through ``pair_jaccard_batch`` (same
+    semantics, vectorized with per-batch canon dedup;
+    /root/reference/src/jaccard.c:3-69 is the scalar analog).
     """
     if len(a) == 0 and len(b) == 0:
         return 1.0

@@ -61,15 +61,14 @@ def punct_ratio(text: Column) -> Column:
 
 
 def _word_occurrences(text: Column, word: str) -> Column:
-    """count of whole-word occurrences (space-delimited match on padded text)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    target = f" {word} "
-    # occurrences via length difference; overlapping-safe for space-delimited
-    # words because the replacement keeps a single space
-    return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(target), F.lit(" "))))
-        / F.lit(len(target) - 1)
-    ).cast("long")
+    """count of whole-word (whitespace-delimited) occurrences.
+
+    Token-based: split on \\s+ and count exact matches. (An earlier
+    regexp_replace length-diff version undercounted consecutive repeats —
+    ' the the the ' counted 2 — because replacement is non-overlapping.)
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
 
 
 def stopword_ratio(text: Column) -> Column:

@@ -94,12 +94,10 @@ def minhash_clusters(
     files = docs_as_files(documents)
     res = DedupPipeline(spark, cfg).run(files)
     sig = res.signatures.select("fid", F.col("path").alias("doc_id"))
-    return (
-        res.clusters.join(sig, "fid")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "component",
-            "is_canonical",
-        )
-        .orderBy("doc_id")
+    # deliberately NOT sorted: a global orderBy here would be a full sort of
+    # the production output; callers that need display order sort themselves
+    return res.clusters.join(sig, "fid").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "component",
+        "is_canonical",
     )

@@ -28,9 +28,24 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: blake2b-seeded vector."""
-    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "little")
-    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+    """Deterministic stand-in for a real decoder: sha256-derived vector.
+
+    feature[i] = (digest_byte[i] - 128) / 128 over chained sha256 blocks —
+    chosen over an RNG draw because sha256 is replicable in ANSI SQL, so the
+    harness oracle can verify the full plumbing value-for-value.
+    """
+    out = np.empty(dim, dtype=np.float32)
+    blob = payload or b""
+    filled = 0
+    digest = hashlib.sha256(blob).digest()
+    while filled < dim:
+        take = min(32, dim - filled)
+        arr = np.frombuffer(digest[:take], dtype=np.uint8).astype(np.float32)
+        out[filled : filled + take] = (arr - 128.0) / 128.0
+        filled += take
+        if filled < dim:
+            digest = hashlib.sha256(digest).digest()
+    return out
 
 
 def decode_image_features(

@@ -4,9 +4,10 @@ Reference analog: ``is_dupe``'s expansion-set intersection
 (/root/reference/src/dedupe.c:13-100) and Jaccard
 (/root/reference/src/jaccard.c:3-69), with thresholds from
 /root/reference/src/libpostal.c:185-186. Our confirm is **exact Jaccard over
-shingle sets**, computed with the column-native
-``size(array_intersect)/size(array_union)`` — fully JVM-side, inside
-whole-stage codegen; no Python in the verify hot path.
+shingle sets**, computed by one Arrow-batched pandas UDF over each pair's two
+canon strings (with per-batch dedup of repeated representatives — see
+``featurize.pair_jaccard_batch``); the winnow-overlap long-clone check is the
+JVM-side part (``arrays_overlap`` on the stored fingerprints).
 
 A pair is confirmed when either:
   * jaccard >= cfg.jaccard_threshold (near-duplicate whole files), or

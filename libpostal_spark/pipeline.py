@@ -35,6 +35,16 @@ class PipelineResult:
     clusters: DataFrame          # fid, component, is_canonical
     bucket_stats: list = field(default_factory=list)
     metrics: list = field(default_factory=list)
+    persisted: list = field(default_factory=list)   # every DF this run cached
+
+    def release(self) -> None:
+        """Unpersist every DataFrame the pipeline cached (bench/session reuse)."""
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.persisted.clear()
 
     def predicted_dup_pairs(self) -> DataFrame:
         """All (fid1 < fid2) pairs sharing a component — for recall checks."""
@@ -67,6 +77,7 @@ class DedupPipeline:
         collect_bucket_stats: bool = False,
     ) -> PipelineResult:
         cfg = self.cfg
+        persisted: list[DataFrame] = []
         in_memory = persist_intermediate and isinstance(self.store, NullStore)
         sigs = self.store.stage("signatures", lambda: blocking.signatures(files, cfg))
         if in_memory:
@@ -75,11 +86,13 @@ class DedupPipeline:
             # every subtree recompute the whole UDF chain (observed 8×
             # duplicated featurize stages). One count here = one computation.
             sigs = sigs.persist()
+            persisted.append(sigs)
             sigs.count()
 
         rep_sigs, exact_edges = blocking.exact_groups(sigs)
         if in_memory:
             rep_sigs = rep_sigs.persist()  # probed by 3 key families + verify ×2
+            persisted.append(rep_sigs)
         keys = self.store.stage(
             "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg)
         )
@@ -91,6 +104,7 @@ class DedupPipeline:
         n_confirmed = None
         if in_memory:
             confirmed = confirmed.persist()
+            persisted.append(confirmed)
             n_confirmed = confirmed.count()  # materialize before CC fan-out
         bucket_stats = (
             [r.asDict() for r in bucket_stats_df.collect()]
@@ -129,4 +143,5 @@ class DedupPipeline:
             clusters=clusters,
             bucket_stats=bucket_stats,
             metrics=list(self.store.metrics),
+            persisted=persisted,
         )
