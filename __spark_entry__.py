@@ -110,10 +110,13 @@ def _q_ann_topk(spark, sf_dir):
     return similarity.brute_force_topk(embs, qvec, k=10)
 
 
+_ANN = dict(n_tables=8, n_bits=4, multiprobe=1, seed=42)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.lsh_topk(embs, qvec, k=10, n_bits=8)
+    return similarity.lsh_topk(embs, qvec, k=10, **_ANN)
 
 
 def _q_signatures(spark, sf_dir):
@@ -143,6 +146,10 @@ def _q_lsh_candidates(spark, sf_dir):
 
 def _q_doc_clusters(spark, sf_dir):
     return dedup.minhash_clusters(spark, _docs(spark, sf_dir), _CFG)
+
+
+def _q_dup_status(spark, sf_dir):
+    return dedup.dup_status_pairs(spark, _docs(spark, sf_dir), _CFG)
 
 
 def _q_code_clusters(spark, sf_dir):
@@ -224,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_signatures,
         "lsh_candidate_pairs": _q_lsh_candidates,
         "doc_near_dup_clusters": _q_doc_clusters,
+        "dup_status_pairs": _q_dup_status,
         "code_dedup_clusters": _q_code_clusters,
         "media_decode_features": _q_media_features,
         "token_freq_topk": _q_token_freq_topk,
@@ -277,6 +285,47 @@ FROM documents
 """
 
 
+def _pair_ctes() -> str:
+    """Shared DuckDB CTEs: per-doc canon/fid/sha -> k-gram shingle sets ->
+    exhaustive pairwise Jaccard. Twin of the pipeline's semantics:
+    fid = sha256(source \\0 doc_id \\0 '0') (docs_as_files adapter), shingles
+    = distinct token {k}-grams with the whole-row fallback for short rows
+    (core/hashing.py shingle_sets), jaccard = |A∩B| / |A∪B|.
+
+    Exhaustive O(n²) pairing is the ORACLE's luxury at 500 rows — the Spark
+    side must reach the same pairs through LSH blocking, which is exactly
+    what the comparison proves (candidate recall 1.0 at this config).
+    """
+    k = _CFG.k_shingle
+    split = "string_split(canon, ' ')"
+    return f"""
+canon AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         sha256(source || chr(0) || CAST(doc_id AS VARCHAR) || chr(0) || '0') AS fid,
+         sha256(text) AS sha,
+         {_canon_expr('text')} AS canon
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, fid, sha,
+         CASE WHEN len({split}) < {k} THEN [canon]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len({split}) - {k - 1}),
+                     i -> array_to_string({split}[i:i + {k - 1}], ' ')))
+         END AS s
+  FROM canon
+),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.fid AS fa, b.fid AS fb,
+         (a.sha = b.sha) AS sha_eq,
+         CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1.0
+              ELSE len(list_intersect(a.s, b.s))
+                   / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+         END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)"""
+
+
 def _sw_count(word: str) -> str:
     """SQL twin of textstats._word_occurrences (token-based whole-word count)."""
     return (
@@ -325,6 +374,47 @@ def _langid_sql() -> str:
         expr = f"CASE WHEN {c} > {best} THEN '{lang}' ELSE {expr} END"
         best = f"CASE WHEN {c} > {best} THEN {c} ELSE {best} END"
     return expr
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of lsh_topk: identical seeded hyperplanes embedded as SQL
+    literals, per-table 4-bit sign keys, Hamming<=1 multiprobe, exact cosine
+    re-rank. Proves the bucket filter + re-rank end-to-end, not just the
+    re-rank."""
+    from libpostal_spark.operators.similarity import hyperplane_planes
+
+    T, b, dim = _ANN["n_tables"], _ANN["n_bits"], 64
+    planes = hyperplane_planes(dim, T, b, _ANN["seed"])
+
+    def key_expr(emb: str, t: int) -> str:
+        terms = []
+        for j in range(b):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[:, t * b + j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({emb}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return f"({t << b} + " + " + ".join(terms) + ")"
+
+    sig_keys = ", ".join(
+        f"{key_expr('embedding::DOUBLE[]', t)} AS k{t}" for t in range(T)
+    )
+    q_keys = ", ".join(f"{key_expr('q.e', t)} AS k{t}" for t in range(T))
+    hits = " OR ".join(
+        f"bit_count(xor(s.k{t}, qs.k{t})) <= {_ANN['multiprobe']}" for t in range(T)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        sig AS (SELECT vec_id, {sig_keys} FROM embeddings),
+        qs AS (SELECT {q_keys} FROM q),
+        cand AS (SELECT s.vec_id FROM sig s, qs WHERE {hits})
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               round(list_inner_product(e.embedding::DOUBLE[], q.e)
+                     / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(q.e, q.e))), 4) AS cos_sim
+        FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -400,6 +490,41 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)/count(*), 4) AS dup_rate
             FROM documents
         """,
+        "doc_near_dup_clusters": f"""
+            WITH RECURSIVE
+            {_pair_ctes()},
+            edges AS (
+              SELECT fa, fb FROM pairs
+              WHERE sha_eq OR j >= {_CFG.jaccard_threshold}
+            ),
+            sym AS (
+              SELECT fa AS a, fb AS b FROM edges
+              UNION ALL
+              SELECT fb AS a, fa AS b FROM edges
+            ),
+            reach(src, dst) AS (
+              SELECT fid, fid FROM canon
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+            ),
+            comp AS (SELECT src AS fid, min(dst) AS component FROM reach GROUP BY src)
+            SELECT c.doc_id AS doc_id,
+                   p.component AS component,
+                   (c.fid = p.component) AS is_canonical
+            FROM canon c JOIN comp p ON p.fid = c.fid
+        """,
+        "dup_status_pairs": f"""
+            WITH
+            {_pair_ctes()}
+            SELECT CASE WHEN fa < fb THEN da ELSE db END AS doc_id1,
+                   CASE WHEN fa < fb THEN db ELSE da END AS doc_id2,
+                   round(j, 4) AS jaccard,
+                   CASE WHEN sha_eq THEN 'exact_duplicate'
+                        WHEN j >= {_CFG.likely_threshold} THEN 'likely_duplicate'
+                        ELSE 'needs_review' END AS status
+            FROM pairs
+            WHERE sha_eq OR j >= {_CFG.jaccard_threshold}
+        """,
         "media_decode_features": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    'image' AS kind,
@@ -410,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(sha256(text), 7, 2))::INT - 128) / 128.0, 4) AS f3
             FROM documents
         """,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT CAST(vec_id AS BIGINT) AS vec_id,

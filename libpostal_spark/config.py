@@ -36,8 +36,9 @@ class PipelineConfig:
     token_expansions: tuple = ()
     fold_numbers: bool = False   # numeric literals → '0' (digits→D analog)
 
-    # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-186) ---
-    jaccard_threshold: float = 0.7
+    # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-193) ---
+    jaccard_threshold: float = 0.7   # needs_review_threshold in the reference
+    likely_threshold: float = 0.9    # likely_dupe_threshold in the reference
 
     # --- SimHash pass (recall booster for near-exact files) ---
     simhash_bits: int = 64

@@ -12,8 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..config import PipelineConfig
 from ..pipeline import DedupPipeline
+from . import verify
 
 
 def docs_as_files(documents: DataFrame) -> DataFrame:
@@ -80,6 +83,79 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id1", "doc_id2", "jaccard")
+    )
+
+
+def dup_status_pairs(
+    spark, documents: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Graded duplicate pairs: every pair with same sha256 or Jaccard >=
+    cfg.jaccard_threshold, with the reference's 4-level status
+    (/root/reference/src/libpostal.h:218-224; is_dupe thresholds
+    /root/reference/src/libpostal.c:185-193).
+
+    Output: doc_id1, doc_id2 (ordered by fid), jaccard (4dp), status.
+
+    This is the pairs-LISTING api — its output is by definition quadratic in
+    duplicate-class size (an exact class of n docs yields n(n-1)/2 exact
+    pairs), so the listing re-expands the pipeline's O(n) star/rep
+    representation. At scale you consume `minhash_clusters` (linear labels);
+    this listing exists for the pairwise-API parity the reference's
+    test_dedupe suite asserts. Winnow-only confirms (jaccard below the
+    needs-review bar) are excluded — they are a long-clone signal, not a
+    whole-file duplicate grade.
+    """
+    cfg = cfg or PipelineConfig()
+    files = docs_as_files(documents)
+    res = DedupPipeline(spark, cfg).run(files)
+    sigs = res.signatures
+    ids = sigs.select("fid", F.col("path").cast("long").alias("doc_id"))
+    w = Window.partitionBy("sha256")
+    members = sigs.select("fid", "sha256").withColumn("rep", F.min("fid").over(w))
+
+    # near-dup pairs: rep<->rep confirms expanded to every member pair
+    # (identical content => identical jaccard to any third file)
+    near = res.confirmed.filter(
+        F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
+    ).select("fid1", "fid2", "jaccard", "status")
+    m1 = members.select(F.col("rep").alias("fid1"), F.col("fid").alias("u"))
+    m2 = members.select(F.col("rep").alias("fid2"), F.col("fid").alias("v"))
+    near_exp = (
+        near.join(m1, "fid1")
+        .join(m2, "fid2")
+        .select(
+            F.least("u", "v").alias("fid_a"),
+            F.greatest("u", "v").alias("fid_b"),
+            "jaccard",
+            "status",
+        )
+    )
+
+    # exact pairs: all member pairs within each sha256 class
+    xa = members.select("sha256", F.col("fid").alias("fid_a"))
+    xb = members.select("sha256", F.col("fid").alias("fid_b"))
+    exact = (
+        xa.join(xb, "sha256")
+        .filter(F.col("fid_a") < F.col("fid_b"))
+        .select(
+            "fid_a",
+            "fid_b",
+            F.lit(1.0).alias("jaccard"),
+            F.lit(verify.STATUS_EXACT).alias("status"),
+        )
+    )
+
+    pairs = exact.unionByName(near_exp)
+    out = (
+        pairs.join(ids.withColumnRenamed("fid", "fid_a"), "fid_a")
+        .withColumnRenamed("doc_id", "doc_id1")
+        .join(ids.withColumnRenamed("fid", "fid_b"), "fid_b")
+        .withColumnRenamed("doc_id", "doc_id2")
+    )
+    # res stays persisted until the caller collects `out` (lazy lineage);
+    # one-shot query wrappers let session teardown reclaim the cache
+    return out.select(
+        "doc_id1", "doc_id2", F.round("jaccard", 4).alias("jaccard"), "status"
     )
 
 

@@ -5,10 +5,23 @@ Two paths, per the training-data-pipeline requirement:
 * ``brute_force_topk`` — exact cosine top-k as a pure column expression
   (``zip_with`` dot product + ``aggregate`` fold), fully JVM-side. The
   correctness baseline; O(n) per query, broadcast the query vector.
-* ``lsh_topk`` — random-hyperplane (SimHash-for-vectors) bucketing: a pandas
-  UDF computes an H-bit sign signature per row; candidates = rows sharing a
-  signature band with the query; exact cosine re-rank on candidates only.
-  The 100 TB path: signatures are tiny, bucket join replaces the full scan.
+* ``lsh_topk`` — multi-table random-hyperplane LSH (the vector analog of the
+  engine's SimHash table keys, core/hashing.py simhash_table_keys): T tables
+  of b sign bits each; a row is a candidate when ANY table key is within
+  Hamming distance ``multiprobe`` of the query's key; exact cosine re-rank on
+  candidates only.
+
+Recall contract (Goemans–Williamson: P[sign agree] = 1 - θ/π):
+  P(candidate) = 1 - (1 - Σ_{i<=m} C(b,i) p^(b-i) (1-p)^i)^T,  p = 1 - θ/π.
+The sandbox embeddings are near-isotropic (top-1 neighbor cos ≈ 0.33, p ≈
+0.60), so the defaults (T=8, b=4, multiprobe=1 → recall ≈ 0.99, candidate
+fraction ≈ 0.9 at n=500) are recall-oriented and the bucket filter prunes
+little — that is a property of THIS corpus, not the operator. At the real
+design point (near-dup mining, neighbor cos >= 0.9 → p ≈ 0.86, corpus 10^9)
+you run b=16, T=8, multiprobe=1: per-table candidate mass 17/65536 ≈ 0.03%
+and recall ≈ 0.97. Signatures are computed once by ``ann_signatures`` and
+persisted/bucketed by key at scale; the probe is then a key-lookup join, not
+a scan. tests/test_ops.py asserts recall >= 0.9 vs brute force.
 """
 
 from __future__ import annotations
@@ -43,41 +56,95 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def make_hyperplane_udf(dim: int, n_bits: int = 16, seed: int = 42):
-    """embedding → int signature of sign bits against seeded random planes."""
+def hyperplane_planes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian hyperplanes, shape (dim, n_tables*n_bits).
+
+    Deterministic given (dim, n_tables, n_bits, seed) so the DuckDB oracle
+    can embed the identical planes as SQL literals.
+    """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bits))
+    return rng.standard_normal((dim, n_tables * n_bits))
 
-    @F.pandas_udf(T.LongType())
-    def sig_udf(col: pd.Series) -> pd.Series:
-        mat = np.vstack(col.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) > 0        # (batch, n_bits)
-        weights = (1 << np.arange(n_bits)).astype(np.int64)
-        return pd.Series(bits.astype(np.int64) @ weights)
 
-    return sig_udf, planes
+def signature_keys(mat: np.ndarray, planes: np.ndarray, n_tables: int, n_bits: int) -> np.ndarray:
+    """(n, dim) float -> (n, n_tables) int64 table keys: (t << n_bits) | bits."""
+    bits = (np.asarray(mat, dtype=np.float64) @ planes) > 0       # (n, T*b)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    packed = bits.reshape(len(mat), n_tables, n_bits).astype(np.int64) @ weights
+    return packed + (np.arange(n_tables, dtype=np.int64) << n_bits)
+
+
+def make_table_keys_udf(dim: int, n_tables: int, n_bits: int, seed: int = 42):
+    """embedding -> array<long> of n_tables LSH keys (Arrow-batched)."""
+    planes = hyperplane_planes(dim, n_tables, n_bits, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys_udf(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy())
+        keys = signature_keys(mat, planes, n_tables, n_bits)
+        return pd.Series(list(keys))
+
+    return keys_udf
+
+
+def ann_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One (id, key) row per table per vector — the persistable ANN index.
+
+    At scale: write this once, bucketed/partitioned BY key, so every probe is
+    a pruned key-lookup instead of a table scan; signatures are ~16 bytes/row
+    × n_tables regardless of embedding dim.
+    """
+    keys_udf = make_table_keys_udf(dim, n_tables, n_bits, seed)
+    return embeddings.select(
+        F.col(id_col), F.explode(keys_udf(F.col("embedding"))).alias("key")
+    )
+
+
+def probe_keys(
+    qvec: list[float], n_tables: int, n_bits: int, seed: int = 42, multiprobe: int = 1
+) -> list[int]:
+    """The query's table keys plus all keys within `multiprobe` bit flips."""
+    planes = hyperplane_planes(len(qvec), n_tables, n_bits, seed)
+    base = signature_keys(np.asarray([qvec]), planes, n_tables, n_bits)[0]
+    probes = set(int(x) for x in base)
+    frontier = set(probes)
+    for _ in range(multiprobe):
+        nxt = set()
+        for key in frontier:
+            for j in range(n_bits):
+                nxt.add(key ^ (1 << j))
+        probes |= nxt
+        frontier = nxt
+    return sorted(probes)
 
 
 def lsh_topk(
     embeddings: DataFrame,
     qvec: list[float],
     k: int = 10,
-    n_bits: int = 12,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket prefilter + exact cosine re-rank.
+    """Approximate top-k: multi-table multi-probe prefilter + exact re-rank.
 
-    Recall is tunable via n_bits (fewer bits → bigger buckets → higher
-    recall/cost). At scale the signature column is precomputed and persisted;
-    the probe is a partition-pruned equality lookup, not a scan.
+    Pass a persisted ``ann_signatures`` frame via `signatures` to amortize
+    signature computation across queries (the scale path); otherwise it is
+    derived inline for a one-shot query.
     """
-    dim = len(qvec)
-    sig_udf, planes = make_hyperplane_udf(dim, n_bits, seed)
-    q_sig = int(
-        ((np.asarray(qvec) @ planes) > 0).astype(np.int64)
-        @ (1 << np.arange(n_bits)).astype(np.int64)
-    )
-    with_sig = embeddings.withColumn("sig", sig_udf(F.col("embedding")))
-    candidates = with_sig.filter(F.col("sig") == F.lit(q_sig))
-    return brute_force_topk(candidates, qvec, k, id_col)
+    sigs = signatures
+    if sigs is None:
+        sigs = ann_signatures(embeddings, len(qvec), n_tables, n_bits, seed, id_col)
+    probes = probe_keys(qvec, n_tables, n_bits, seed, multiprobe)
+    cands = sigs.filter(F.col("key").isin(probes)).select(id_col).distinct()
+    return brute_force_topk(embeddings.join(cands, id_col), qvec, k, id_col)

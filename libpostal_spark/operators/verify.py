@@ -21,7 +21,7 @@ reference applies before expensive similarity (/root/reference/src/soft_tfidf.c:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -59,4 +59,26 @@ def verified_pairs(
     confirmed = out.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)) | F.col("substring_hit")
     )
-    return confirmed.select("fid1", "fid2", "jaccard", "source", "sources")
+    return confirmed.select(
+        "fid1", "fid2", "jaccard", "source", "sources",
+        status_expr(F.col("jaccard"), cfg).alias("status"),
+    )
+
+
+# 4-level duplicate status, mirroring libpostal_duplicate_status_t
+# (/root/reference/src/libpostal.h:218-224; thresholds
+# /root/reference/src/libpostal.c:185-193). EXACT is assigned upstream by the
+# sha256 contraction (blocking.exact_groups); NON never reaches the output
+# (filtered); winnow-only confirms (long clone, jaccard below the needs-review
+# bar) grade as needs_review — a shared >=159-token run warrants human review
+# but is not whole-file LIKELY.
+STATUS_EXACT = "exact_duplicate"
+STATUS_LIKELY = "likely_duplicate"
+STATUS_NEEDS_REVIEW = "needs_review"
+
+
+def status_expr(jaccard: Column, cfg: PipelineConfig) -> Column:
+    """Grade a confirmed pair's Jaccard into the reference's status enum."""
+    return F.when(
+        jaccard >= F.lit(cfg.likely_threshold), F.lit(STATUS_LIKELY)
+    ).otherwise(F.lit(STATUS_NEEDS_REVIEW))

@@ -115,6 +115,32 @@ def test_lsh_topk_contains_identical(spark, embs):
     assert 0 in ids and 7 in ids     # identical-direction vectors share every hyperplane sign
 
 
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Recall >= 0.9 against exact top-10 on the driver's sf0.001 embeddings
+    (near-isotropic — the hard case), k results returned, via the same
+    multi-table multi-probe config the harness query uses."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(embs, qvec, k=10).collect()}
+    approx = similarity.lsh_topk(
+        embs, qvec, k=10, n_tables=8, n_bits=4, multiprobe=1
+    ).collect()
+    assert len(approx) == 10
+    got = {r["vec_id"] for r in approx}
+    assert len(exact & got) >= 9
+
+
+def test_lsh_topk_reuses_persisted_signatures(spark, embs):
+    df, vecs = embs
+    sigs = similarity.ann_signatures(df, dim=8, n_tables=4, n_bits=4).persist()
+    q = [float(x) for x in vecs[0]]
+    top = similarity.lsh_topk(
+        df, q, k=3, n_tables=4, n_bits=4, signatures=sigs
+    ).collect()
+    assert {top[0]["vec_id"], top[1]["vec_id"]} == {0, 7}
+    sigs.unpersist()
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_media_decode_plumbing(spark):
