@@ -140,7 +140,7 @@ def _q_lsh_candidates(spark, sf_dir):
     sigs = blocking.signatures(files, _CFG)
     rep_sigs, _ = blocking.exact_groups(sigs)
     keys = blocking.blocking_keys(rep_sigs, _CFG)
-    pairs, _ = blocking.candidate_pairs(keys, _CFG)
+    pairs, _, _ = blocking.candidate_pairs(keys, _CFG)
     return pairs.select("fid1", "fid2", "source")
 
 

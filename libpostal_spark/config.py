@@ -53,7 +53,9 @@ class PipelineConfig:
     winnow_select: int = 64      # winnowing selection window (over window hashes)
 
     # --- skew handling (boilerplate adversary, FIXTURES.md §2.9) ---
-    max_bucket_size: int = 64    # LSH buckets larger than this pair star-wise, not all-pairs
+    max_bucket_size: int = 64        # buckets larger than this pair via salting
+    max_salted_bucket: int = 1_000_000  # beyond this, star+rep-clique only (O(n));
+                                        # n^1.5 pair volume is the salting contract
     shuffle_partitions: int = 32
 
     # --- clustering ---

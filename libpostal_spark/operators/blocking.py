@@ -122,7 +122,9 @@ def blocking_keys(rep_sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+def candidate_pairs(
+    keys: DataFrame, cfg: PipelineConfig, persist: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Key stream → distinct candidate pairs (fid1 < fid2, sources agg'd).
 
     Partition-aligned design: the explicit repartition by bucket key (the
@@ -135,10 +137,18 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
 
       * bucket ≤ max_bucket_size → all pairs via the co-partitioned
         self-join (fid1 < fid2 keeps each unordered pair once)
-      * bucket  > max_bucket_size → star pairs to the bucket's min fid:
-        O(n) rows, no quadratic blowup; component connectivity is preserved
-        because members of a genuinely-similar oversized bucket all verify
-        against the rep and merge in CC
+      * bucket  > max_bucket_size → SALTED pairing (the north rule's skew
+        handling): members hash into G = ⌈√n⌉ salt groups; all pairs within
+        each ~√n-sized group (O(n^1.5) total), plus an all-pairs clique over
+        the per-group dual representatives (min-fid and max-fid of each
+        group: ≤2G nodes → O(n) pairs), plus star edges to the bucket's
+        global min fid. Unlike star-only pairing, two similar members no
+        longer depend on BOTH verifying against one arbitrary rep: same
+        salt group → direct pair; different groups → linked through the rep
+        clique, which survives one adversarial (dissimilar) rep per group
+        because the second rep still carries the edge. Buckets beyond
+        max_salted_bucket fall back to star+rep-clique only (O(n)), counted
+        in bucket_stats — never silently.
 
     Returns (pairs, bucket_stats). bucket_stats (lazily derived from the
     same window output) is the no-silent-caps ledger: kind, n_buckets,
@@ -152,6 +162,17 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
         .withColumn("rep", F.min("fid").over(w))
         .filter(F.col("cnt") > 1)
     )
+    cached = None
+    if persist:
+        # keyed fans out to 5+ consumer branches (small l/r, star, salt l/r,
+        # reps, stats); without a materialized cache each branch replays the
+        # full-stream shuffle + window (observed: 7 identical exchanges in
+        # the physical plan). One persist+count = one shuffle, and the cache
+        # retains the hash partitioning so the small-bucket self-join still
+        # needs no exchange of its own.
+        keyed = keyed.persist()
+        keyed.count()
+        cached = keyed
 
     # small buckets: co-partitioned self-join on the bucket key — both sides
     # share the repartition exchange (ReusedExchange) and are already hash-
@@ -168,19 +189,53 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
         .select("kind", F.col("l.fid").alias("fid1"), F.col("r.fid").alias("fid2"))
     )
 
-    big_pairs = (
-        keyed.filter(
-            (F.col("cnt") > cfg.max_bucket_size) & (F.col("fid") != F.col("rep"))
+    big = keyed.filter(F.col("cnt") > cfg.max_bucket_size)
+    star_pairs = big.filter(F.col("fid") != F.col("rep")).select(
+        "kind",
+        F.least("rep", "fid").alias("fid1"),
+        F.greatest("rep", "fid").alias("fid2"),
+    )
+
+    # salt into G=⌈√n⌉ groups; all pairs inside each group (O(n^1.5) total)
+    salted = (
+        big.filter(F.col("cnt") <= cfg.max_salted_bucket)
+        .withColumn(
+            "g", F.pmod(F.xxhash64("fid"), F.ceil(F.sqrt("cnt")).cast("long"))
         )
+        .select("kind", "kid", "khash", "g", "fid")
+    )
+    sl = salted.alias("sl")
+    sr = salted.alias("sr")
+    salt_pairs = (
+        sl.join(sr, ["kind", "kid", "khash", "g"])
+        .filter(F.col("sl.fid") < F.col("sr.fid"))
+        .select("kind", F.col("sl.fid").alias("fid1"), F.col("sr.fid").alias("fid2"))
+    )
+
+    # dual reps per salt group (min+max fid), all-pairs clique across groups
+    reps = (
+        big.withColumn(
+            "g", F.pmod(F.xxhash64("fid"), F.ceil(F.sqrt("cnt")).cast("long"))
+        )
+        .groupBy("kind", "kid", "khash", "g")
+        .agg(F.min("fid").alias("lo"), F.max("fid").alias("hi"))
         .select(
-            "kind",
-            F.least("rep", "fid").alias("fid1"),
-            F.greatest("rep", "fid").alias("fid2"),
+            "kind", "kid", "khash",
+            F.explode(F.array_distinct(F.array("lo", "hi"))).alias("fid"),
         )
+    )
+    rl = reps.alias("rl")
+    rr = reps.alias("rr")
+    rep_pairs = (
+        rl.join(rr, ["kind", "kid", "khash"])
+        .filter(F.col("rl.fid") < F.col("rr.fid"))
+        .select("kind", F.col("rl.fid").alias("fid1"), F.col("rr.fid").alias("fid2"))
     )
 
     pairs = (
-        small_pairs.unionByName(big_pairs)
+        small_pairs.unionByName(star_pairs)
+        .unionByName(salt_pairs)
+        .unionByName(rep_pairs)
         .groupBy("fid1", "fid2")
         .agg(F.min("kind").alias("source"), F.collect_set("kind").alias("sources"))
     )
@@ -195,4 +250,4 @@ def candidate_pairs(keys: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Da
             F.max("cnt").alias("max_size"),
         )
     )
-    return pairs, bucket_stats
+    return pairs, bucket_stats, cached

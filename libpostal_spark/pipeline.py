@@ -97,7 +97,9 @@ class DedupPipeline:
             "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg)
         )
 
-        pairs, bucket_stats_df = blocking.candidate_pairs(keys, cfg)
+        pairs, bucket_stats_df, keyed_cache = blocking.candidate_pairs(keys, cfg)
+        if keyed_cache is not None:
+            persisted.append(keyed_cache)
         confirmed = self.store.stage(
             "confirmed_pairs", lambda: verify.verified_pairs(pairs, rep_sigs, cfg)
         )

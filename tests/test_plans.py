@@ -42,23 +42,35 @@ def test_parquet_filter_pushdown(spark):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
 
 
-def test_blocking_window_reuses_repartition(spark, cfg):
-    """candidate_pairs' window must NOT add an exchange on top of the
-    explicit repartition by the same keys."""
+def test_blocking_keyed_computed_once(spark, cfg):
+    """candidate_pairs fans `keyed` out to 5+ branches (small l/r, star,
+    salt l/r, reps); every branch must read the materialized cache — ONE
+    full-stream shuffle + window total, not one replay per branch (the
+    pre-cache plan had 7 identical exchanges)."""
     keys = spark.createDataFrame(
         [(f"f{i}", 0, 0, i % 7) for i in range(100)],
         ["fid", "kind", "kid", "khash"],
     )
-    pairs, _ = blocking.candidate_pairs(keys, cfg)
-    plan = _plan(pairs)
-    # the small-bucket self-join must ride on the bucket-key partitioning:
-    # every branch has exactly ONE exchange (the explicit repartition) and
-    # the join adds none of its own
-    n_exchanges_on_key = len(re.findall(r"hashpartitioning\(kind[^\n]*khash", plan))
-    n_windows = len(re.findall(r"\n\(\d+\) Window", plan))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-    # one exchange per windowed branch, none added by the join
-    assert n_exchanges_on_key == n_windows, (n_exchanges_on_key, n_windows)
+    pairs, _, cached = blocking.candidate_pairs(keys, cfg)
+    try:
+        plan = _plan(pairs)
+        assert plan.count("InMemoryTableScan") >= 5, plan
+        # the bucket-key repartition lives only inside the cached relation:
+        # at most 2 textual occurrences (initial + AQE-final description of
+        # the SAME cached plan), executed once
+        key_exchanges = {
+            m.group(1)
+            for m in re.finditer(
+                r"hashpartitioning\(kind[^\n]*khash[^\n]*plan_id=(\d+)", plan
+            )
+        }
+        assert len(key_exchanges) <= 2, plan
+        # no windows outside the cached relation's own description
+        n_windows = len(re.findall(r"\n\(\d+\) Window", plan))
+        assert n_windows <= 2, plan
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def test_verify_winnow_check_is_jvm_side(spark, cfg):
@@ -69,7 +81,7 @@ def test_verify_winnow_check_is_jvm_side(spark, cfg):
     sigs = blocking.signatures(dedup.docs_as_files(docs), cfg)
     rep, _ = blocking.exact_groups(sigs)
     keys = blocking.blocking_keys(rep, cfg)
-    pairs, _ = blocking.candidate_pairs(keys, cfg)
+    pairs, _, _ = blocking.candidate_pairs(keys, cfg)
     out = verify.verified_pairs(pairs, rep, cfg)
     plan = _plan(out)
     assert "arrays_overlap" in plan          # JVM-side, no Python round-trip
