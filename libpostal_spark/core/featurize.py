@@ -101,6 +101,74 @@ def pair_jaccard_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.
     return pd.Series(out)
 
 
+def _lcs_tokens(a: list, b: list) -> int:
+    """Longest common token RUN (contiguous substring) via a suffix automaton
+    over `a`, walked with `b` — O(|a|+|b|) per pair. The exact form of the
+    reference-design "per-partition suffix-array substring check": winnow
+    fingerprints only say a long shared run exists w.h.p.; this measures it
+    exactly, so winnow-only confirms are verified, never hash-trusted."""
+    if not a or not b:
+        return 0
+    # suffix automaton (Blumer et al.) over token sequence a
+    last, size = 0, 1
+    link = [-1]
+    length = [0]
+    trans: list[dict] = [{}]
+    for ch in a:
+        cur = size
+        size += 1
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = size
+                size += 1
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # walk b through the automaton tracking current match length
+    v, ln, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in trans[v]:
+            v = link[v]
+            ln = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            ln += 1
+            best = max(best, ln)
+        else:
+            v, ln = 0, 0
+    return best
+
+
+def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Series:
+    """Exact longest-common-token-run for aligned canon-string pairs."""
+    n = len(c1)
+    if n == 0:
+        return pd.Series([], dtype="int32")
+    t1 = c1.fillna("").str.split(" ")
+    t2 = c2.fillna("").str.split(" ")
+    return pd.Series(
+        [_lcs_tokens(t1.iloc[i], t2.iloc[i]) for i in range(n)], dtype="int32"
+    )
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-distinct shingle arrays (tests/goldens).
 

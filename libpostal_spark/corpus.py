@@ -239,3 +239,33 @@ def corpus_to_spark(spark, pdf: pd.DataFrame, n_partitions: int = 0):
     """files DataFrame (truth columns dropped) — the pipeline's input table."""
     df = spark.createDataFrame(pdf[["repo", "path", "commit", "lang", "content"]])
     return df.repartition(n_partitions) if n_partitions else df
+
+
+def cached_corpus_parquet(
+    n_base: int = 1000,
+    dup_fraction: float = 0.5,
+    n_boilerplate_copies: int = 50,
+    n_clone_embed: int = 10,
+    seed: int = 42,
+    cache_dir: str = "/tmp/libpostal_spark_bench",
+) -> str:
+    """Materialize the deterministic synthetic corpus to parquet once and
+    return the path. Generation is driver-side pandas; benchmark and harness
+    queries must READ a table, not generate one inside the timed region."""
+    import os
+
+    key = f"corpus_{n_base}_{dup_fraction}_{n_boilerplate_copies}_{n_clone_embed}_{seed}"
+    path = os.path.join(cache_dir, f"{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        pdf = generate_corpus(
+            n_base=n_base,
+            dup_fraction=dup_fraction,
+            n_boilerplate_copies=n_boilerplate_copies,
+            n_clone_embed=n_clone_embed,
+            seed=seed,
+        )
+        tmp = path + ".tmp"
+        pdf[["repo", "path", "commit", "lang", "content"]].to_parquet(tmp)
+        os.rename(tmp, path)
+    return path

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from ..config import PipelineConfig
 from ..core.canonicalize import canonicalize_batch
-from ..core.featurize import featurize, pair_jaccard_batch
+from ..core.featurize import featurize, pair_jaccard_batch, pair_lcs_batch
 
 
 def feature_schema(emit_minhash: bool = False) -> T.StructType:
@@ -44,14 +44,21 @@ def feature_schema(emit_minhash: bool = False) -> T.StructType:
     return T.StructType(fields)
 
 
-def make_canonicalize_udf():
+def make_canonicalize_udf(
+    expansions: dict[str, str] | None = None, fold_numbers: bool = False
+):
     """content:string -> canon:string (vectorized; analog of
-    expand_address_root, /root/reference/src/expand.c:1653-1655)."""
+    expand_address_root, /root/reference/src/expand.c:1653-1655). Pass an
+    expansion dictionary (single tokens and multi-token phrases; see
+    libpostal_spark.dictionaries) to fold abbreviation variants, the analog
+    of dictionary-driven expansion in expand_address."""
 
     @F.pandas_udf(T.StringType())
     def canonicalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for content in it:
-            yield canonicalize_batch(content)
+            yield canonicalize_batch(
+                content, expansions=expansions, fold_numbers=fold_numbers
+            )
 
     return canonicalize_udf
 
@@ -118,3 +125,30 @@ def make_pair_jaccard_udf(cfg: PipelineConfig):
             yield pair_jaccard_batch(c1, c2, cfg)
 
     return pair_jaccard_udf
+
+
+def make_pair_lcs_udf(cfg: PipelineConfig):
+    """(canon1, canon2, jaccard) -> exact longest common token run, or -1.
+
+    The suffix-automaton substring verifier (core/featurize.pair_lcs_batch).
+    Rows whose jaccard already clears the confirm threshold are skipped
+    INSIDE the UDF (-1): Spark extracts Python UDFs out of CASE WHEN and
+    evaluates them unconditionally, so the skip must be data-driven — cost
+    stays proportional to the rare winnow-only rows.
+    """
+
+    @F.pandas_udf(T.IntegerType())
+    def pair_lcs_udf(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for c1, c2, jac in it:
+            out = pd.Series(np.full(len(c1), -1, dtype=np.int32))
+            need = (jac < cfg.jaccard_threshold).to_numpy()
+            if need.any():
+                sub = pair_lcs_batch(c1[need], c2[need], cfg)
+                out[need] = sub.to_numpy()
+            yield out
+
+    return pair_lcs_udf

@@ -47,7 +47,10 @@ def with_ids(files: DataFrame) -> DataFrame:
 
 
 def signatures(
-    files: DataFrame, cfg: PipelineConfig, emit_minhash: bool = False
+    files: DataFrame,
+    cfg: PipelineConfig,
+    emit_minhash: bool = False,
+    ids_added: bool = False,
 ) -> DataFrame:
     """files → one row per fid: canon text + fixed-width signature features.
 
@@ -57,7 +60,7 @@ def signatures(
     column for debugging/FIXTURES §4 parity.
     """
     feat_udf = make_featurize_udf(cfg, emit_minhash)
-    df = with_ids(files)
+    df = files if ids_added else with_ids(files)
     df = df.withColumn("f", feat_udf(F.col("content")))
     cols = [
         "fid",

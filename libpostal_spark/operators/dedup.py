@@ -87,7 +87,10 @@ def ngram_jaccard_pairs(
 
 
 def dup_status_pairs(
-    spark, documents: DataFrame, cfg: PipelineConfig | None = None
+    spark,
+    documents: DataFrame,
+    cfg: PipelineConfig | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Graded duplicate pairs: every pair with same sha256 or Jaccard >=
     cfg.jaccard_threshold, with the reference's 4-level status
@@ -107,7 +110,7 @@ def dup_status_pairs(
     """
     cfg = cfg or PipelineConfig()
     files = docs_as_files(documents)
-    res = DedupPipeline(spark, cfg).run(files)
+    res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
     sigs = res.signatures
     ids = sigs.select("fid", F.col("path").cast("long").alias("doc_id"))
     w = Window.partitionBy("sha256")
@@ -160,7 +163,10 @@ def dup_status_pairs(
 
 
 def minhash_clusters(
-    spark, documents: DataFrame, cfg: PipelineConfig | None = None
+    spark,
+    documents: DataFrame,
+    cfg: PipelineConfig | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup clustering of a documents table.
 
@@ -168,7 +174,7 @@ def minhash_clusters(
     """
     cfg = cfg or PipelineConfig()
     files = docs_as_files(documents)
-    res = DedupPipeline(spark, cfg).run(files)
+    res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
     sig = res.signatures.select("fid", F.col("path").alias("doc_id"))
     # deliberately NOT sorted: a global orderBy here would be a full sort of
     # the production output; callers that need display order sort themselves

@@ -36,7 +36,7 @@ def verified_pairs(
     The two joins shuffle on fid — at scale, rep_sigs is bucketed by fid so
     both probes co-locate; AQE handles residual skew.
     """
-    from ..functions.udfs import make_pair_jaccard_udf
+    from ..functions.udfs import make_pair_jaccard_udf, make_pair_lcs_udf
 
     s1 = rep_sigs.select(
         F.col("fid").alias("fid1"),
@@ -56,11 +56,24 @@ def verified_pairs(
     out = joined.withColumn(
         "substring_hit", F.arrays_overlap("wn1", "wn2")
     ).withColumn("jaccard", jac_udf(F.col("canon1"), F.col("canon2")))
-    confirmed = out.filter(
+    candidates = out.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)) | F.col("substring_hit")
     )
+    # winnow-only candidates get the exact suffix-automaton substring check:
+    # a fingerprint collision is only ACCEPTED if the measured longest common
+    # token run really reaches winnow_window — the verified (not w.h.p.) form
+    # of the long-clone rule. lcs_tokens = -1 marks jaccard-accepted rows
+    # (skipped inside the UDF; cost is proportional to winnow-only rows).
+    lcs_udf = make_pair_lcs_udf(cfg)
+    graded = candidates.withColumn(
+        "lcs_tokens", lcs_udf(F.col("canon1"), F.col("canon2"), F.col("jaccard"))
+    )
+    confirmed = graded.filter(
+        (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("lcs_tokens") >= F.lit(cfg.winnow_window))
+    )
     return confirmed.select(
-        "fid1", "fid2", "jaccard", "source", "sources",
+        "fid1", "fid2", "jaccard", "source", "sources", "lcs_tokens",
         status_expr(F.col("jaccard"), cfg).alias("status"),
     )
 

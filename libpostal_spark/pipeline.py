@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .checkpoint import CheckpointStore, NullStore
+from .checkpoint import CheckpointStore, NullStore, input_fingerprint
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .operators import blocking, cluster, verify
 
@@ -75,33 +75,62 @@ class DedupPipeline:
         files: DataFrame,
         persist_intermediate: bool = True,
         collect_bucket_stats: bool = False,
+        signatures: DataFrame | None = None,
     ) -> PipelineResult:
+        """Pass `signatures` (an already-persisted blocking.signatures frame
+        for the same files+config) to reuse the featurize pass across
+        multiple pipeline invocations in one session."""
         cfg = self.cfg
         persisted: list[DataFrame] = []
-        in_memory = persist_intermediate and isinstance(self.store, NullStore)
-        sigs = self.store.stage("signatures", lambda: blocking.signatures(files, cfg))
-        if in_memory:
-            # persist AND materialize eagerly: AQE launches independent plan
-            # subtrees concurrently, and a cold cache at that point makes
-            # every subtree recompute the whole UDF chain (observed 8×
-            # duplicated featurize stages). One count here = one computation.
-            sigs = sigs.persist()
-            persisted.append(sigs)
-            sigs.count()
+        resumable = not isinstance(self.store, NullStore)
+        in_memory = persist_intermediate and not resumable
+        fp = None
+        if signatures is not None:
+            sigs = signatures
+        elif resumable:
+            # one cheap fingerprint scan keys every stage to THIS input — a
+            # re-run against a different table invalidates the cache instead
+            # of silently serving the previous dataset's state. The expensive
+            # featurize stage resumes at PARTITION granularity (pt =
+            # xxhash64(fid) % n): only partitions missing from the manifest
+            # recompute after a mid-stage kill.
+            fp = input_fingerprint(files)
+            ided = blocking.with_ids(files)
+            sigs = self.store.partitioned_stage(
+                "signatures",
+                ided,
+                lambda sub: blocking.signatures(sub, cfg, ids_added=True),
+                fp,
+                n_pt=cfg.checkpoint_partitions,
+            )
+        else:
+            sigs = self.store.stage(
+                "signatures", lambda: blocking.signatures(files, cfg)
+            )
+            if in_memory:
+                # persist AND materialize eagerly: AQE launches independent
+                # plan subtrees concurrently, and a cold cache at that point
+                # makes every subtree recompute the whole UDF chain (observed
+                # 8× duplicated featurize stages). One count = one compute.
+                sigs = sigs.persist()
+                persisted.append(sigs)
+                sigs.count()
 
         rep_sigs, exact_edges = blocking.exact_groups(sigs)
         if in_memory:
             rep_sigs = rep_sigs.persist()  # probed by 3 key families + verify ×2
             persisted.append(rep_sigs)
         keys = self.store.stage(
-            "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg)
+            "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg), fp
         )
 
         pairs, bucket_stats_df, keyed_cache = blocking.candidate_pairs(keys, cfg)
         if keyed_cache is not None:
             persisted.append(keyed_cache)
         confirmed = self.store.stage(
-            "confirmed_pairs", lambda: verify.verified_pairs(pairs, rep_sigs, cfg)
+            "confirmed_pairs",
+            lambda: verify.verified_pairs(pairs, rep_sigs, cfg),
+            fp,
         )
         n_confirmed = None
         if in_memory:
@@ -123,6 +152,7 @@ class DedupPipeline:
             lambda: cluster.connected_components_auto(
                 confirmed, n_confirmed, cfg.cc_driver_max_edges
             ),
+            fp,
         )
         member_labels = (
             exact_edges.select("fid1", "fid2")

@@ -75,3 +75,89 @@ def test_changed_config_does_not_reuse(spark, small_pdf, tmp_path):
         spark, PipelineConfig(k_shingle=7), checkpoint_root=root
     ).run(files)
     assert all(not m["resumed"] for m in res.metrics)
+
+
+def test_changed_input_does_not_reuse(spark, small_pdf, tmp_path):
+    """ADVICE r1 (medium): same checkpoint root + same config but a DIFFERENT
+    input table must invalidate every cached stage — not silently emit the
+    previous dataset's clusters."""
+    from libpostal_spark.corpus import generate_corpus
+
+    root = str(tmp_path / "ckpt4")
+    files_a = corpus_to_spark(spark, small_pdf, 4)
+    DedupPipeline(spark, PipelineConfig(), checkpoint_root=root).run(files_a)
+
+    other = generate_corpus(n_base=30, n_boilerplate_copies=3, n_clone_embed=2, seed=99)
+    files_b = corpus_to_spark(spark, other, 4)
+    res_b = DedupPipeline(spark, PipelineConfig(), checkpoint_root=root).run(files_b)
+    assert all(not m["resumed"] for m in res_b.metrics)
+    # and the output really is B's universe, not A's
+    fids_b = {r["fid"] for r in res_b.clusters.collect()}
+    from libpostal_spark.operators import blocking
+
+    want_b = {r["fid"] for r in blocking.with_ids(files_b).select("fid").collect()}
+    assert fids_b == want_b
+
+
+def test_partition_level_resume(spark, tmp_path):
+    """Kill-mid-stage at PARTITION granularity: with some partitions' data +
+    manifest rows already present, only the missing partitions recompute."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "pt_ckpt")
+    n_pt = 8
+    rows = [(f"fid{i:03d}", i) for i in range(200)]
+    input_df = spark.createDataFrame(rows, "fid string, v long")
+
+    seen: list[str] = []
+
+    def fn(sub):
+        seen.extend(r["fid"] for r in sub.select("fid").collect())
+        return sub.withColumn("out", F.col("v") * 2)
+
+    store1 = CheckpointStore(spark, root, "cfg1")
+    full = store1.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=n_pt)
+    assert full.count() == 200
+    assert len(seen) == 200
+    assert store1.metrics[-1]["computed_partitions"] == n_pt
+
+    # simulate a mid-stage kill: drop data + manifest rows for half the pts
+    import shutil
+
+    keep_pts = set(range(0, n_pt, 2))
+    for p in range(n_pt):
+        if p not in keep_pts:
+            shutil.rmtree(f"{root}/sigs/config=cfg1/data/pt={p}", ignore_errors=True)
+    manifest = spark.read.json(f"{root}/sigs/config=cfg1/manifest")
+    kept = manifest.filter(F.col("pt").isin(sorted(keep_pts))).collect()
+    shutil.rmtree(f"{root}/sigs/config=cfg1/manifest")
+    spark.createDataFrame(kept, manifest.schema).write.mode("overwrite").json(
+        f"{root}/sigs/config=cfg1/manifest"
+    )
+
+    seen.clear()
+    store2 = CheckpointStore(spark, root, "cfg1")
+    resumed = store2.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=n_pt)
+    got = {(r["fid"], r["out"]) for r in resumed.collect()}
+    assert got == {(f"fid{i:03d}", 2 * i) for i in range(200)}
+    # only rows of the missing partitions were recomputed
+    expect_missing = {
+        r["fid"]
+        for r in input_df.withColumn(
+            "pt", F.expr(f"pmod(xxhash64(fid), {n_pt})")
+        ).filter(~F.col("pt").isin(sorted(keep_pts))).select("fid").collect()
+    }
+    assert set(seen) == expect_missing
+    assert 0 < len(seen) < 200
+    m = store2.metrics[-1]
+    assert m["resumed_partitions"] == len(keep_pts)
+    assert m["computed_partitions"] == n_pt - len(keep_pts)
+
+    # third run: everything complete — nothing recomputes
+    seen.clear()
+    store3 = CheckpointStore(spark, root, "cfg1")
+    store3.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=n_pt)
+    assert seen == []
+    assert store3.metrics[-1]["resumed"] is True

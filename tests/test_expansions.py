@@ -1,0 +1,92 @@
+"""Expansion-dictionary goldens, in the style of the reference's
+test_expand.c (/root/reference/test/test_expand.c:126-333): surface variants
+of the same identifier must canonicalize to the same form once the shipped
+code dictionary is applied."""
+
+import pytest
+
+from libpostal_spark.core.canonicalize import canonicalize_one, phrase_priority_order
+from libpostal_spark.dictionaries import DEFAULT_CODE_EXPANSIONS
+
+EXP = dict(DEFAULT_CODE_EXPANSIONS)
+
+
+def canon(s: str) -> str:
+    return canonicalize_one(s, expansions=EXP)
+
+
+# --- goldens: (input, expected canonical form) ---------------------------
+GOLDENS = [
+    ("initCfg", "initialize configuration"),
+    ("init_cfg", "initialize configuration"),
+    ("INIT CFG", "initialize configuration"),
+    ("callBack", "callback"),
+    ("call_back", "callback"),
+    ("callback", "callback"),
+    ("cb", "callback"),
+    ("setUp", "setup"),
+    ("fileName", "filename"),
+    ("file name", "filename"),
+    ("errMsg", "error message"),
+    ("numArgs", "number arguments"),
+    ("def init", "def initialize"),      # keywords never expanded
+    ("cfg cfg", "configuration configuration"),  # consecutive occurrences
+    ("conf config cfg", "configuration configuration configuration"),
+    ("whiteList", "allowlist"),
+    ("allowList", "allowlist"),
+]
+
+
+@pytest.mark.parametrize("src,want", GOLDENS)
+def test_expansion_goldens(src, want):
+    assert canon(src) == want
+
+
+def test_variant_equivalence():
+    """The reference's sets-intersect property, specialized to one canonical
+    form: every surface variant of an identifier folds to the same string."""
+    groups = [
+        ["callBack", "call_back", "callback", "CALL_BACK", "cb"],
+        ["initCfg", "init_config", "initialize_configuration", "init conf"],
+        ["tmpFileName", "tmp_file_name", "temporary filename"],
+    ]
+    for g in groups:
+        forms = {canon(v) for v in g}
+        assert len(forms) == 1, (g, forms)
+
+
+def test_pattern_priority_is_deterministic():
+    """'data set up': 'data set' (lexicographically earlier phrase) wins the
+    overlap against 'set up' — pinned so the SQL twin stays equivalent."""
+    assert canon("data set up") == "dataset up"
+    order = phrase_priority_order(EXP)
+    keys = [k for k, _ in order]
+    assert keys.index("data set") < keys.index("set up")
+    # phrases (multi-token) always sort before single tokens
+    first_single = next(i for i, k in enumerate(keys) if " " not in k)
+    assert all(" " in k for k in keys[:first_single])
+
+
+def test_no_cascading():
+    """A replacement output is never re-matched: 'cb'->'callback' must not
+    then be touched by any other rule; phrase outputs are terminal."""
+    assert canon("cb cb") == "callback callback"
+    # 'database' (output of 'data base') is not a key anywhere
+    keys = set(EXP)
+    for v in EXP.values():
+        for tok in v.split(" "):
+            assert tok not in keys, f"cascade: replacement token {tok!r} is a key"
+
+
+def test_phrases_at_boundaries():
+    assert canon("set up") == "setup"
+    assert canon("x set up") == "x setup"
+    assert canon("set up x") == "setup x"
+    assert canon("set") == "set"          # partial phrase alone: untouched
+    assert canon("up") == "up"
+
+
+def test_fold_numbers_composes_with_expansions():
+    got = canonicalize_one("cfg 123 v2", expansions=EXP, fold_numbers=True)
+    # 123 is a number literal (folded); v2 is one identifier token (kept)
+    assert got == "configuration 0 v2"

@@ -1,0 +1,69 @@
+"""Long-clone confirm: winnow hit -> exact suffix-automaton verification.
+
+The reference-design 'per-partition suffix-array substring check for long
+exact clones': a winnow fingerprint match flags a probable >=window-token
+shared run; verify measures the run exactly (lcs_tokens) and only accepts if
+it truly reaches winnow_window.
+"""
+
+from pyspark.sql import functions as F
+
+from libpostal_spark.config import PipelineConfig
+from libpostal_spark.operators import blocking, verify
+
+
+def _run_confirm(spark, rows, cfg):
+    import pandas as pd
+
+    files = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    sigs = blocking.signatures(files, cfg)
+    rep_sigs, _ = blocking.exact_groups(sigs)
+    keys = blocking.blocking_keys(rep_sigs, cfg)
+    pairs, _, cached = blocking.candidate_pairs(keys, cfg)
+    out = verify.verified_pairs(pairs, rep_sigs, cfg).collect()
+    if cached is not None:
+        cached.unpersist()
+    return out
+
+
+def test_winnow_only_pair_verified_by_lcs(spark):
+    """Two files sharing a 250-token block inside otherwise-different bodies:
+    jaccard < threshold, so the pair is accepted ONLY via the measured run."""
+    cfg = PipelineConfig()
+    block = " ".join(f"shared{i}" for i in range(250))
+    a = " ".join(f"alpha{i}" for i in range(400)) + " " + block
+    b = block + " " + " ".join(f"beta{i}" for i in range(400))
+    rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
+    got = _run_confirm(spark, rows, cfg)
+    assert len(got) == 1
+    r = got[0]
+    assert r["jaccard"] < cfg.jaccard_threshold          # not a whole-file dup
+    assert r["lcs_tokens"] >= 250                        # the run, measured
+    assert r["status"] == verify.STATUS_NEEDS_REVIEW
+
+
+def test_jaccard_accepted_pairs_skip_lcs(spark):
+    cfg = PipelineConfig()
+    base = " ".join(f"tok{i} fill{i}" for i in range(120))
+    rows = [
+        ("r1", "a", "c", "python", base),
+        ("r2", "b", "c", "python", base + " tiny change"),
+    ]
+    got = _run_confirm(spark, rows, cfg)
+    assert len(got) == 1
+    assert got[0]["jaccard"] >= cfg.jaccard_threshold
+    assert got[0]["lcs_tokens"] == -1                    # skipped inside the UDF
+
+
+def test_short_shared_run_not_confirmed(spark):
+    """A shared run well below winnow_window with low jaccard must NOT
+    produce a confirmed pair (no winnow fingerprint can span it)."""
+    cfg = PipelineConfig()
+    block = " ".join(f"shared{i}" for i in range(40))    # << winnow_window=96
+    a = " ".join(f"alpha{i}" for i in range(400)) + " " + block
+    b = block + " " + " ".join(f"beta{i}" for i in range(400))
+    rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
+    got = _run_confirm(spark, rows, cfg)
+    assert got == []
