@@ -120,7 +120,7 @@ def main() -> None:
         # the VM's page-pool health drifts over a session, so a sequential
         # A-then-B comparison biases against whichever runs later
         times = {n_lo: float("inf"), n_hi: float("inf")}
-        for _round in range(2):
+        for _round in range(3):
             for n in (n_lo, n_hi):
                 s = get_spark(app_name=f"bench_scale_{n}", master=f"local[{n}]")
                 t, _ = run_pipeline(s, path, n, runs=2)

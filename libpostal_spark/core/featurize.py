@@ -158,15 +158,71 @@ def _lcs_tokens(a: list, b: list) -> int:
 
 
 def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Series:
-    """Exact longest-common-token-run for aligned canon-string pairs."""
+    """Verified shared-run length per aligned canon-string pair (vectorized).
+
+    Returns, per pair, the length of a maximal common token run of at least
+    ``winnow_window`` tokens — 0 if none exists. Decision-exact: a run of
+    >= W tokens exists iff some W-token window of one side equals a W-token
+    window of the other, so we intersect rolling W-window hashes (computed
+    ONCE per unique canon for the whole batch), then verify the matched
+    windows token-for-token (hash collisions rejected) and extend the run
+    outward to its full length. The reported length is the maximal run
+    around the first verified match — always >= W when accepted, which is
+    the only property verify's confirm rule consumes. The pure-Python
+    suffix-automaton ``_lcs_tokens`` (exact global LCS) cross-checks this in
+    tests; it is ~10ms/pair and was the confirm-stage bottleneck.
+    """
+    from . import hashing as H
+
     n = len(c1)
+    W = cfg.winnow_window
     if n == 0:
         return pd.Series([], dtype="int32")
-    t1 = c1.fillna("").str.split(" ")
-    t2 = c2.fillna("").str.split(" ")
-    return pd.Series(
-        [_lcs_tokens(t1.iloc[i], t2.iloc[i]) for i in range(n)], dtype="int32"
-    )
+    all_canon = pd.concat([c1, c2], ignore_index=True).fillna("")
+    uniq, inv = np.unique(all_canon.to_numpy(dtype=object), return_inverse=True)
+    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed)
+    wh, row = H.window_hashes(flat, lengths, W)
+    bounds = np.searchsorted(row, np.arange(len(uniq) + 1))
+    toks = [u.split(" ") if u else [] for u in uniq]
+    # per-unique window-hash slice (index within slice == token offset) plus
+    # a sorted view for fast intersection
+    slices, orders, sorteds = [], [], []
+    for i in range(len(uniq)):
+        arr = wh[bounds[i] : bounds[i + 1]]
+        order = np.argsort(arr, kind="stable")
+        slices.append(arr)
+        orders.append(order)
+        sorteds.append(arr[order])
+
+    def run_len(i1: int, i2: int) -> int:
+        sa, sb = sorteds[i1], sorteds[i2]
+        if len(sa) == 0 or len(sb) == 0:
+            return 0
+        inter, ia, ib = np.intersect1d(sa, sb, return_indices=True)
+        a, b = toks[i1], toks[i2]
+        for m in range(len(inter)):
+            pa = int(orders[i1][ia[m]])
+            pb = int(orders[i2][ib[m]])
+            if a[pa : pa + W] != b[pb : pb + W]:
+                continue                       # hash collision: reject, try next
+            lo = 0
+            while pa - lo - 1 >= 0 and pb - lo - 1 >= 0 and a[pa - lo - 1] == b[pb - lo - 1]:
+                lo += 1
+            hi = W
+            while pa + hi < len(a) and pb + hi < len(b) and a[pa + hi] == b[pb + hi]:
+                hi += 1
+            return lo + hi
+        return 0
+
+    i1s, i2s = inv[:n], inv[n:]
+    cache: dict[tuple[int, int], int] = {}
+    out = np.empty(n, dtype=np.int32)
+    for i in range(n):
+        key = (int(i1s[i]), int(i2s[i]))
+        if key not in cache:
+            cache[key] = run_len(*key)
+        out[i] = cache[key]
+    return pd.Series(out)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

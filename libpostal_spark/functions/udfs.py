@@ -127,28 +127,37 @@ def make_pair_jaccard_udf(cfg: PipelineConfig):
     return pair_jaccard_udf
 
 
-def make_pair_lcs_udf(cfg: PipelineConfig):
-    """(canon1, canon2, jaccard) -> exact longest common token run, or -1.
+def make_pair_confirm_udf(cfg: PipelineConfig):
+    """(canon1, canon2, substring_hit) -> struct(jaccard, lcs_tokens).
 
-    The suffix-automaton substring verifier (core/featurize.pair_lcs_batch).
-    Rows whose jaccard already clears the confirm threshold are skipped
-    INSIDE the UDF (-1): Spark extracts Python UDFs out of CASE WHEN and
-    evaluates them unconditionally, so the skip must be data-driven — cost
-    stays proportional to the rare winnow-only rows.
+    ONE Arrow pass for the whole pairwise confirm: exact shingle-set Jaccard
+    for every row (pair_jaccard_batch, per-batch canon dedup) plus the
+    substring verifier (pair_lcs_batch: rolling-window hash intersect +
+    exact token verify + extension) for the rows that need it — winnow hits
+    whose jaccard is below the confirm threshold. lcs_tokens = -1 marks rows
+    where the run check was skipped. Fused because two chained pandas UDFs
+    would ship every pair's canon strings across the Arrow boundary twice.
     """
+    schema = T.StructType(
+        [
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("lcs_tokens", T.IntegerType()),
+        ]
+    )
 
-    @F.pandas_udf(T.IntegerType())
-    def pair_lcs_udf(
+    @F.pandas_udf(schema)
+    def pair_confirm_udf(
         it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
-    ) -> Iterator[pd.Series]:
-        import numpy as np
-
-        for c1, c2, jac in it:
-            out = pd.Series(np.full(len(c1), -1, dtype=np.int32))
-            need = (jac < cfg.jaccard_threshold).to_numpy()
+    ) -> Iterator[pd.DataFrame]:
+        for c1, c2, hit in it:
+            jac = pair_jaccard_batch(c1, c2, cfg)
+            lcs = pd.Series(np.full(len(c1), -1, dtype=np.int32))
+            need = (
+                (jac < cfg.jaccard_threshold).to_numpy()
+                & hit.fillna(False).to_numpy(dtype=bool)
+            )
             if need.any():
-                sub = pair_lcs_batch(c1[need], c2[need], cfg)
-                out[need] = sub.to_numpy()
-            yield out
+                lcs[need] = pair_lcs_batch(c1[need], c2[need], cfg).to_numpy()
+            yield pd.DataFrame({"jaccard": jac, "lcs_tokens": lcs})
 
-    return pair_lcs_udf
+    return pair_confirm_udf

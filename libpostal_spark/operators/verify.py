@@ -36,7 +36,7 @@ def verified_pairs(
     The two joins shuffle on fid — at scale, rep_sigs is bucketed by fid so
     both probes co-locate; AQE handles residual skew.
     """
-    from ..functions.udfs import make_pair_jaccard_udf, make_pair_lcs_udf
+    from ..functions.udfs import make_pair_confirm_udf
 
     s1 = rep_sigs.select(
         F.col("fid").alias("fid1"),
@@ -49,24 +49,25 @@ def verified_pairs(
         F.col("winnow").alias("wn2"),
     )
     joined = pairs.join(s1, "fid1").join(s2, "fid2")
-    # winnow overlap is checked JVM-side on the stored fingerprints (a shared
-    # fingerprint IS an exact >=winnow_window-token run w.h.p.); exact Jaccard
-    # runs in one Arrow-batched pair UDF over the canon strings.
-    jac_udf = make_pair_jaccard_udf(cfg)
-    out = joined.withColumn(
-        "substring_hit", F.arrays_overlap("wn1", "wn2")
-    ).withColumn("jaccard", jac_udf(F.col("canon1"), F.col("canon2")))
-    candidates = out.filter(
-        (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)) | F.col("substring_hit")
-    )
-    # winnow-only candidates get the exact suffix-automaton substring check:
-    # a fingerprint collision is only ACCEPTED if the measured longest common
-    # token run really reaches winnow_window — the verified (not w.h.p.) form
-    # of the long-clone rule. lcs_tokens = -1 marks jaccard-accepted rows
-    # (skipped inside the UDF; cost is proportional to winnow-only rows).
-    lcs_udf = make_pair_lcs_udf(cfg)
-    graded = candidates.withColumn(
-        "lcs_tokens", lcs_udf(F.col("canon1"), F.col("canon2"), F.col("jaccard"))
+    # winnow overlap is checked JVM-side on the stored fingerprints; ONE
+    # fused Arrow pass then computes exact Jaccard for every pair plus the
+    # exact substring verification (rolling-window match + token verify +
+    # extend) for winnow-only rows. A winnow hit is ACCEPTED only when the
+    # verified common run really reaches winnow_window — the measured (not
+    # w.h.p.) form of the long-clone rule. lcs_tokens = -1 marks rows where
+    # the run check was skipped (jaccard already decided).
+    confirm_udf = make_pair_confirm_udf(cfg)
+    graded = (
+        joined.withColumn("substring_hit", F.arrays_overlap("wn1", "wn2"))
+        .withColumn(
+            "c",
+            confirm_udf(F.col("canon1"), F.col("canon2"), F.col("substring_hit")),
+        )
+        .select(
+            "fid1", "fid2", "source", "sources",
+            F.col("c.jaccard").alias("jaccard"),
+            F.col("c.lcs_tokens").alias("lcs_tokens"),
+        )
     )
     confirmed = graded.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))

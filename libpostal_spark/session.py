@@ -30,7 +30,10 @@ def get_spark(
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cores
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        # exactly one shuffle partition per core: at local[1]/local[2] the
+        # old floor of 8 meant 8 sequential tiny tasks per stage — pure
+        # scheduling + python-worker-roundtrip overhead with zero parallelism
+        shuffle_partitions = 32 if n == "*" else max(2, int(n))
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
