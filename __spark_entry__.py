@@ -85,6 +85,24 @@ def _q_canonicalize_expanded(spark, sf_dir):
     )
 
 
+def _q_expansion_counts(spark, sf_dir):
+    """expand_address alternation summary: full+root forms and the capped
+    cross-product size per document."""
+    from libpostal_spark.dictionaries import DEFAULT_CODE_EXPANSIONS
+    from libpostal_spark.functions.udfs import make_expand_udf
+
+    udf = make_expand_udf(dict(DEFAULT_CODE_EXPANSIONS), max_expansions=64)
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), udf(F.col("text")).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.canon_full").alias("canon_full"),
+        F.col("e.canon_root").alias("canon_root"),
+        F.col("e.n_matches").alias("n_matches"),
+        F.col("e.n_alternatives").alias("n_alternatives"),
+    )
+
+
 def _q_exact_dup_groups(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -109,6 +127,17 @@ def _q_token_count(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         TS.token_count(F.col("text")).alias("n_tokens"),
     )
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def _q_quality(spark, sf_dir):
@@ -255,9 +284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
         "canonicalize_expanded": _q_canonicalize_expanded,
+        "expansion_counts": _q_expansion_counts,
         "exact_dup_groups": _q_exact_dup_groups,
         "doc_fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
+        "embedding_near_dup_pairs": _q_embedding_near_dup,
         "quality_score": _q_quality,
         "lang_id": _q_langid,
         "token_jaccard_adjacent": _q_token_jaccard,
@@ -293,8 +325,9 @@ def _sql_quote(s: str) -> str:
 
 def _canon_expr(col: str) -> str:
     """DuckDB twin of canonicalize_batch (NFKC-fullwidth → comments → camel
-    splits → underscores → lower → tokenize → join)."""
-    return f"""array_to_string(
+    splits → underscores → lower → tokenize → join). coalesce: DuckDB's
+    array_to_string yields NULL (not '') for an empty match list."""
+    return f"""coalesce(array_to_string(
          regexp_extract_all(
            lower(
              replace(
@@ -310,7 +343,7 @@ def _canon_expr(col: str) -> str:
                '_', ' ')
            ),
            '{_TOKEN_RE}'),
-         ' ')"""
+         ' '), '')"""
 
 
 _CANON_SQL = f"""
@@ -338,6 +371,44 @@ def _expanded_canon_sql() -> str:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                trim(regexp_replace({expr}, ' +', ' ', 'g')) AS canon
         FROM documents
+    """
+
+
+def _expansion_counts_sql() -> str:
+    """Chained-CTE twin of make_expand_udf: one step per dictionary pattern
+    (shared priority order), each counting its non-overlapping matches on the
+    running doubled-space string and then applying its replacement — exactly
+    the evolving-sequence semantics of expand_alternatives_tokens."""
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+    from libpostal_spark.dictionaries import DEFAULT_CODE_EXPANSIONS
+
+    steps = []
+    prev = "s0"
+    for i, (k, v) in enumerate(
+        phrase_priority_order(dict(DEFAULT_CODE_EXPANSIONS)), start=1
+    ):
+        pat = _sql_quote(" " + k.replace(" ", "  ") + " ")
+        rep = _sql_quote(" " + v.replace(" ", "  ") + " ")
+        steps.append(
+            f"s{i} AS (SELECT doc_id, canon, replace(s, {pat}, {rep}) AS s, "
+            f"m + (length(s) - length(replace(s, {pat}, ''))) // length({pat}) AS m "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    chain = ",\n            ".join(steps)
+    return f"""
+        WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          {_canon_expr('text')} AS canon FROM documents),
+            s0 AS (SELECT doc_id, canon,
+                          ' ' || replace(canon, ' ', '  ') || ' ' AS s,
+                          0 AS m FROM c),
+            {chain}
+        SELECT doc_id,
+               canon AS canon_full,
+               trim(regexp_replace(s, ' +', ' ', 'g')) AS canon_root,
+               CAST(m AS INT) AS n_matches,
+               CAST(least(power(2, m), 64) AS INT) AS n_alternatives
+        FROM {prev}
     """
 
 
@@ -482,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "canonicalize": _CANON_SQL,
         "canonicalize_expanded": _expanded_canon_sql(),
+        "expansion_counts": _expansion_counts_sql(),
         "exact_dup_groups": """
             SELECT sha256(text) AS group_sha,
                    CAST(count(*) AS BIGINT) AS dup_count,
@@ -497,6 +569,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST({_TOKCNT} AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dup_pairs": """
+            WITH v AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     embedding::DOUBLE[] AS e,
+                     sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+                   round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) AS cos_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) >= 0.4
         """,
         "quality_score": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

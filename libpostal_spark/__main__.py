@@ -32,15 +32,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bands", type=int, default=32)
     p.add_argument("--rows-per-band", type=int, default=4)
     p.add_argument("--threshold", type=float, default=0.7, dest="jaccard_threshold")
+    p.add_argument(
+        "--expand",
+        action="store_true",
+        help="fold code abbreviations via the shipped expansion dictionary "
+        "(libpostal_spark.dictionaries) before shingling",
+    )
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
+    expansions: tuple = ()
+    if args.expand:
+        from .dictionaries import DEFAULT_CODE_EXPANSIONS
+
+        expansions = DEFAULT_CODE_EXPANSIONS
     cfg = PipelineConfig(
         k_shingle=args.k_shingle,
         num_perm=args.num_perm,
         bands=args.bands,
         rows_per_band=args.rows_per_band,
         jaccard_threshold=args.jaccard_threshold,
+        token_expansions=expansions,
         seed=args.seed,
     )
     spark = get_spark(app_name="libpostal_spark_job", master=args.master)

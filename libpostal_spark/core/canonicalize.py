@@ -159,3 +159,107 @@ def phrase_priority_order(exp: dict[str, str]) -> list[tuple[str, str]]:
 def canonicalize_one(text: str, **kw) -> str:
     """Single-string convenience wrapper (tests, goldens)."""
     return canonicalize_batch(pd.Series([text]), **kw).iloc[0]
+
+
+class _Segment:
+    __slots__ = ("orig", "alts")
+
+    def __init__(self, orig: list[str], alts: list[list[str]]):
+        self.orig = orig      # original token run
+        self.alts = alts      # replacement alternatives (each a token list)
+
+
+def expand_alternatives(
+    text: str,
+    expansions: dict[str, str] | None,
+    max_expansions: int = 64,
+) -> tuple[list[str], int]:
+    """Full ``expand_address``-style alternation: every dictionary match
+    contributes {replacement(s), original} alternatives and the result is
+    the capped cross product of canonical forms.
+
+    Reference analog: the alternatives tree + cartesian expansion of
+    ``expand_address`` (/root/reference/src/expand.c:724-1424,1452-1536),
+    with the permutation cap mirroring EXCESSIVE_PERMUTATIONS
+    (/root/reference/src/expand.c:29). Dictionary values may carry multiple
+    alternatives separated by '|' (the "st" → street|saint ambiguity class).
+
+    Matching uses the same pattern-priority pass order as
+    ``make_token_rewriter`` / the SQL twin (phrases longest-first then
+    lexicographic, singles after), so forms[0] — every segment replaced by
+    its first alternative — IS the root canonical form, and the all-original
+    form (the "full" expansion input) is always included: the combined
+    full+root union of the reference's two entry points.
+
+    Returns (forms, n_matches). Forms are emitted in binary counting order
+    over segments (replacement-first), truncated at max_expansions but
+    always retaining the all-original form as the last element.
+    """
+    base = canonicalize_one(text)
+    return expand_alternatives_tokens(
+        base.split(" ") if base else [], expansions, max_expansions
+    )
+
+
+def expand_alternatives_tokens(
+    toks: list[str],
+    expansions: dict[str, str] | None,
+    max_expansions: int = 64,
+) -> tuple[list[str], int]:
+    """Token-level core of ``expand_alternatives`` (batch callers
+    canonicalize once with ``canonicalize_batch`` and segment per row)."""
+    seq: list = list(toks)
+    exp = expansions or {}
+    for k, v in phrase_priority_order(exp):
+        parts = k.split(" ")
+        m = len(parts)
+        alts = [a.split(" ") for a in v.split("|")]
+        out: list = []
+        i, n = 0, len(seq)
+        while i < n:
+            window = seq[i : i + m]
+            if (
+                i + m <= n
+                and all(isinstance(x, str) for x in window)
+                and window == parts
+            ):
+                out.append(_Segment(parts, alts))
+                i += m
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+    segments = [x for x in seq if isinstance(x, _Segment)]
+    n_matches = len(segments)
+
+    def render(choices: dict[int, int]) -> str:
+        parts: list[str] = []
+        si = 0
+        for x in seq:
+            if isinstance(x, _Segment):
+                c = choices.get(si, 0)
+                parts.extend(x.alts[c] if c < len(x.alts) else x.orig)
+                si += 1
+            else:
+                parts.append(x)
+        return " ".join(parts)
+
+    import itertools
+
+    forms: list[str] = []
+    option_counts = [len(s.alts) + 1 for s in segments]   # alts + original
+    total = 1
+    for c in option_counts:
+        total *= c
+        if total >= max_expansions:
+            total = max_expansions
+            break
+    for combo in itertools.product(*(range(c) for c in option_counts)):
+        forms.append(render(dict(enumerate(combo))))
+        if len(forms) >= max_expansions:
+            break
+    full = render({i: len(s.alts) for i, s in enumerate(segments)})
+    if full not in forms:
+        forms[-1:] = [full]                 # cap hit: keep full+root union
+    return forms, n_matches

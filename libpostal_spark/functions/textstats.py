@@ -115,6 +115,18 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+# BPE-ish pretokenizer (GPT-2-style, lookahead-free ASCII variant so the
+# same pattern runs identically under Java regex and DuckDB's RE2):
+# contractions | space?letters | space?digits | space?symbol-run | whitespace
+BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-pretokenizer segments — the token-count a GPT-2-style
+    tokenizer would fan each document into (upper bound before merges)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
 def norm_fingerprint(text: Column) -> Column:
     """sha256 of whitespace-collapsed, trimmed, lowercased text — the
     document-fingerprint op (rolling-hash analog: exact canonical digest)."""

@@ -161,3 +161,49 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
             yield pd.DataFrame({"jaccard": jac, "lcs_tokens": lcs})
 
     return pair_confirm_udf
+
+
+def make_expand_udf(
+    expansions: dict[str, str] | None, max_expansions: int = 64
+):
+    """content -> struct(canon_full, canon_root, n_matches, n_alternatives).
+
+    The expand_address alternation surface: full (unexpanded) + root (all
+    dictionary matches replaced) forms plus the capped cross-product size.
+    The alternatives LIST itself is available via
+    core.canonicalize.expand_alternatives; this UDF projects the
+    SQL-twinnable summary for the harness.
+    """
+    from ..core.canonicalize import expand_alternatives_tokens
+
+    schema = T.StructType(
+        [
+            T.StructField("canon_full", T.StringType()),
+            T.StructField("canon_root", T.StringType()),
+            T.StructField("n_matches", T.IntegerType()),
+            T.StructField("n_alternatives", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def expand_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for content in it:
+            base = canonicalize_batch(content)
+            full, root, nm, na = [], [], [], []
+            for b in base:
+                toks = b.split(" ") if b else []
+                forms, m = expand_alternatives_tokens(toks, expansions, max_expansions)
+                full.append(b)
+                root.append(forms[0])
+                nm.append(m)
+                na.append(len(forms))
+            yield pd.DataFrame(
+                {
+                    "canon_full": full,
+                    "canon_root": root,
+                    "n_matches": pd.array(nm, dtype="int32"),
+                    "n_alternatives": pd.array(na, dtype="int32"),
+                }
+            )
+
+    return expand_udf

@@ -90,3 +90,66 @@ def test_fold_numbers_composes_with_expansions():
     got = canonicalize_one("cfg 123 v2", expansions=EXP, fold_numbers=True)
     # 123 is a number literal (folded); v2 is one identifier token (kept)
     assert got == "configuration 0 v2"
+
+
+def test_expand_alternatives_goldens():
+    from libpostal_spark.core.canonicalize import expand_alternatives
+
+    forms, m = expand_alternatives("initCfg", EXP)
+    assert m == 2
+    assert forms[0] == "initialize configuration"      # root first
+    assert forms[-1] == "init cfg"                     # full (all-original) kept
+    assert len(forms) == 4                             # 2^2 cross product
+
+    # ambiguity class (the reference's "st" -> street|saint):
+    forms, m = expand_alternatives("tmpDir", {"tmp": "temporary|temp", "dir": "directory"})
+    assert m == 2 and len(forms) == 6                  # (2 alts + orig) x (1 + orig)
+    assert forms[0] == "temporary directory"
+    assert "tmp dir" in forms
+
+    # permutation cap mirrors EXCESSIVE_PERMUTATIONS: full form survives the cut
+    many = " ".join(["cfg"] * 10)                      # 2^10 = 1024 forms uncapped
+    forms, m = expand_alternatives(many, EXP, max_expansions=64)
+    assert m == 10 and len(forms) == 64
+    assert forms[0] == " ".join(["configuration"] * 10)
+    assert many in forms                               # full+root union preserved
+
+
+def test_expansion_counts_sql_twin_on_adversarial_strings():
+    """The chained-CTE oracle and the pandas expander must agree on inputs
+    that actually exercise phrases, overlaps, repeats, and caps — the sf
+    documents contain none of these (all n_matches=0 there)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from libpostal_spark.core.canonicalize import (
+        canonicalize_batch,
+        expand_alternatives_tokens,
+    )
+
+    texts = [
+        "initCfg",
+        "data set up",                      # phrase overlap: data-set wins
+        "cfg cfg cfg",                      # consecutive singles
+        "set up set up",                    # consecutive phrases
+        "callBack errMsg tmpDir",           # camel-split feeding phrases
+        "white list allow list",            # two phrases, same replacement
+        "plain words with no matches",
+        " ".join(["cfg"] * 10),             # cap: 2^10 -> 64
+        "no op noop NO_OP",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    odf = con.sql(entry._expansion_counts_sql()).df().sort_values("doc_id")
+
+    base = canonicalize_batch(pdf["text"])
+    for i, row in odf.reset_index(drop=True).iterrows():
+        toks = base.iloc[i].split(" ") if base.iloc[i] else []
+        forms, m = expand_alternatives_tokens(toks, EXP, 64)
+        assert row["canon_full"] == base.iloc[i], texts[i]
+        assert row["canon_root"] == forms[0], texts[i]
+        assert int(row["n_matches"]) == m, texts[i]
+        assert int(row["n_alternatives"]) == len(forms), texts[i]

@@ -182,3 +182,45 @@ def test_frame_sample(spark):
     media = spark.createDataFrame(pdf)
     rows = multimodal.frame_sample(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+
+
+def test_cosine_pairs_threshold(spark, embs):
+    df, vecs = embs
+    out = similarity.cosine_pairs(df, threshold=0.99).collect()
+    # vec 7 is vec 0 scaled: cos exactly 1.0 — must appear, ordered id1<id2
+    got = {(r["vec_id1"], r["vec_id2"]): r["cos_sim"] for r in out}
+    assert got[(0, 7)] == 1.0
+    assert all(a < b for a, b in got)
+    # exact agreement with numpy on the full universe at a lower threshold
+    import numpy as np
+
+    M = vecs.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    G = M @ M.T
+    want = {
+        (i, j)
+        for i in range(len(M))
+        for j in range(i + 1, len(M))
+        if round(G[i, j], 4) >= 0.5
+    }
+    out2 = similarity.cosine_pairs(df, threshold=0.5).collect()
+    assert {(r["vec_id1"], r["vec_id2"]) for r in out2} == want
+
+
+def test_bpe_token_count_matches_python(spark):
+    import re
+
+    from libpostal_spark.functions.textstats import BPE_PATTERN, bpe_token_count
+
+    texts = [
+        "Hello world!",
+        "it's we've they'll don't",
+        "x=1; y+=2.5  # comment",
+        "   leading and trailing   ",
+        "",
+        "CamelCase under_scores 123abc",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPE_PATTERN, t)), (t, got[i], re.findall(BPE_PATTERN, t))
