@@ -412,6 +412,98 @@ def _expansion_counts_sql() -> str:
     """
 
 
+def _code_clusters_sql() -> str:
+    """DuckDB twin of the flagship pipeline over the deterministic synthetic
+    CODE corpus (read from the same pre-materialized parquet the query
+    reads; regenerated here so the oracle can run first). Edge rule =
+    sha-equal ∨ shingle-jaccard ≥ 0.7 ∨ shared ≥159-token run (the winnowing
+    guarantee window W+select-1: every planted clone is ≥200 tokens, so the
+    pipeline's winnow-hit ∧ verified-run acceptance coincides with the pure
+    159-window rule on this corpus — checked empirically at the harness
+    scale). Valid at sf0.01 (n_base=100), the scale the driver compares at.
+    """
+    from libpostal_spark.corpus import cached_corpus_parquet
+
+    path = cached_corpus_parquet(n_base=100, seed=_CFG.seed)
+    k = _CFG.k_shingle
+    wlen = _CFG.winnow_window + _CFG.winnow_select - 1
+    split = "string_split(canon, ' ')"
+    return f"""
+        WITH RECURSIVE
+        files AS (SELECT * FROM read_parquet('{path}')),
+        canon AS (
+          SELECT sha256(repo || chr(0) || path || chr(0) || commit) AS fid,
+                 sha256(content) AS sha,
+                 {_canon_expr('content')} AS canon
+          FROM files
+        ),
+        sh AS (
+          SELECT fid, sha,
+                 CASE WHEN len({split}) < {k} THEN [canon]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len({split}) - {k - 1}),
+                             i -> md5(array_to_string({split}[i:i + {k - 1}], ' '))))
+                 END AS s,
+                 CASE WHEN len({split}) < {wlen} THEN []
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len({split}) - {wlen - 1}),
+                             i -> md5(array_to_string({split}[i:i + {wlen - 1}], ' '))))
+                 END AS w
+          FROM canon
+        ),
+        runhits AS (
+          SELECT DISTINCT a.fid AS fa, b.fid AS fb
+          FROM (SELECT fid, unnest(w) AS win FROM sh) a
+          JOIN (SELECT fid, unnest(w) AS win FROM sh) b USING (win)
+          WHERE a.fid < b.fid
+        ),
+        -- jaccard via exploded-shingle join: |A∩B| = shared-key count, so
+        -- only pairs sharing >=1 shingle are ever scored (no quadratic
+        -- list_intersect; a pair below the threshold with zero overlap
+        -- cannot be an edge anyway)
+        ex AS (SELECT fid, unnest(s) AS g FROM sh),
+        sizes AS (SELECT fid, len(s) AS ns FROM sh),
+        inter AS (
+          SELECT a.fid AS fa, b.fid AS fb, count(*) AS c
+          FROM ex a JOIN ex b USING (g)
+          WHERE a.fid < b.fid
+          GROUP BY 1, 2
+        ),
+        jpairs AS (
+          SELECT fa, fb FROM inter
+          JOIN sizes sa ON sa.fid = fa
+          JOIN sizes sb ON sb.fid = fb
+          WHERE c / CAST(sa.ns + sb.ns - c AS DOUBLE) >= {_CFG.jaccard_threshold}
+        ),
+        shapairs AS (
+          SELECT a.fid AS fa, b.fid AS fb
+          FROM sh a JOIN sh b ON a.sha = b.sha AND a.fid < b.fid
+        ),
+        edges AS (
+          SELECT fa, fb FROM jpairs
+          UNION
+          SELECT fa, fb FROM shapairs
+          UNION
+          SELECT fa, fb FROM runhits
+        ),
+        sym AS (
+          SELECT fa AS a, fb AS b FROM edges
+          UNION ALL
+          SELECT fb AS a, fa AS b FROM edges
+        ),
+        reach(src, dst) AS (
+          SELECT fid, fid FROM canon
+          UNION
+          SELECT r.src, s2.b FROM reach r JOIN sym s2 ON s2.a = r.dst
+        ),
+        comp AS (SELECT src AS fid, min(dst) AS component FROM reach GROUP BY src)
+        SELECT c.fid AS fid,
+               p.component AS component,
+               (c.fid = p.component) AS is_canonical
+        FROM canon c JOIN comp p ON p.fid = c.fid
+    """
+
+
 def _pair_ctes() -> str:
     """Shared DuckDB CTEs: per-doc canon/fid/sha -> k-gram shingle sets ->
     exhaustive pairwise Jaccard. Twin of the pipeline's semantics:
@@ -638,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)/count(*), 4) AS dup_rate
             FROM documents
         """,
+        "code_dedup_clusters": _code_clusters_sql(),
         "doc_near_dup_clusters": f"""
             WITH RECURSIVE
             {_pair_ctes()},

@@ -20,7 +20,7 @@ from dataclasses import asdict, dataclass, field
 class PipelineConfig:
     # --- shingling (analog of near-dupe quadgrams, src/near_dupe.c:266-281) ---
     k_shingle: int = 5           # token k-grams over the canonical token stream
-    min_tokens: int = 1          # rows shorter than k fall back to a whole-doc shingle
+                                 # (rows shorter than k fall back to a whole-doc shingle)
 
     # --- MinHash / LSH (replaces near_dupe_hashes' hand-built key families) ---
     num_perm: int = 128          # signature length
@@ -43,6 +43,9 @@ class PipelineConfig:
     # --- SimHash pass (recall booster for near-exact files) ---
     simhash_bits: int = 64
     simhash_tables: int = 4      # split signature into T chunks; pairs share a chunk
+    # pigeonhole guarantee: hamming(simhash_a, simhash_b) <= hamming_max
+    # forces at least one shared chunk key, hence candidacy — requires
+    # simhash_tables >= hamming_max + 1 (validated in __post_init__)
     simhash_hamming_max: int = 3
 
     # --- winnowed substring pass (long exact clones; MOSS-style winnowing) ---
@@ -80,6 +83,10 @@ class PipelineConfig:
             )
         if self.simhash_bits % self.simhash_tables != 0:
             raise ValueError("simhash_bits must divide evenly into simhash_tables")
+        if self.simhash_tables < self.simhash_hamming_max + 1:
+            raise ValueError(
+                "pigeonhole guarantee needs simhash_tables >= simhash_hamming_max + 1"
+            )
 
     @property
     def config_hash(self) -> str:

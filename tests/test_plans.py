@@ -85,7 +85,8 @@ def test_verify_winnow_check_is_jvm_side(spark, cfg):
     out = verify.verified_pairs(pairs, rep, cfg)
     plan = _plan(out)
     assert "arrays_overlap" in plan          # JVM-side, no Python round-trip
-    assert "pair_jaccard_udf" in plan        # the one Arrow pair UDF
+    assert "pair_confirm_udf" in plan        # the ONE fused Arrow pair UDF
+    assert "pair_jaccard_udf" not in plan    # no second chained Arrow pass
 
 
 def test_ann_bruteforce_single_stage(spark):
