@@ -16,13 +16,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny per-language stopword marker sets for the n-gram/stopword language
-# heuristic (deterministic, SQL-expressible; not a real langid model)
+# per-language stopword marker sets for the stopword-voting language
+# heuristic (deterministic, SQL-expressible; not a statistical langid model —
+# the reference's analog is a trained classifier,
+# /root/reference/src/language_classifier.c). The oracle SQL twin is
+# GENERATED from this dict, so extending it never desyncs the harness.
 LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "es": ["el", "la", "de"],
-    "de": ["der", "die", "und"],
-    "fr": ["le", "la", "et"],
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "dans"],
 }
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "it"]

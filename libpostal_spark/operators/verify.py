@@ -11,9 +11,11 @@ JVM-side part (``arrays_overlap`` on the stored fingerprints).
 
 A pair is confirmed when either:
   * jaccard >= cfg.jaccard_threshold (near-duplicate whole files), or
-  * the two files share >= 1 winnow fingerprint (an exact shared token run of
-    >= winnow_window tokens, w.h.p.) — the long-clone rule that Jaccard alone
-    cannot express (a 200-token block inside two otherwise-different files).
+  * the two files share a winnow fingerprint AND a token-for-token VERIFIED
+    common run of >= winnow_window tokens (rolling-window match + exact
+    verify + extension) — the long-clone rule that Jaccard alone cannot
+    express (a 200-token block inside two otherwise-different files),
+    measured rather than hash-trusted.
 
 Exact pairs (same sha256) never reach this stage — the short-circuit the
 reference applies before expensive similarity (/root/reference/src/soft_tfidf.c:336-341).
