@@ -189,6 +189,18 @@ def _q_signatures(spark, sf_dir):
     )
 
 
+def _q_shingle_stats(spark, sf_dir):
+    """SQL-verifiable slice of the signature table: token + distinct-shingle
+    counts per doc (the simhash/band columns stay in minhash_signatures,
+    whose hashes SQL cannot replay)."""
+    sigs = _sigs(spark, sf_dir)
+    return sigs.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
 def _q_lsh_candidates(spark, sf_dir):
     from libpostal_spark.operators import blocking
 
@@ -296,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_signatures": _q_signatures,
+        "shingle_stats": _q_shingle_stats,
         "lsh_candidate_pairs": _q_lsh_candidates,
         "doc_near_dup_clusters": _q_doc_clusters,
         "dup_status_pairs": _q_dup_status,
@@ -731,6 +744,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "code_dedup_clusters": _code_clusters_sql(),
+        "shingle_stats": f"""
+            WITH c AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {_canon_expr('text')} AS canon
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN length(canon) = 0 THEN 0
+                        ELSE len(string_split(canon, ' ')) END AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN len(string_split(canon, ' ')) < {_CFG.k_shingle} THEN 1
+                        ELSE len(list_distinct(list_transform(
+                               generate_series(1, len(string_split(canon, ' ')) - {_CFG.k_shingle - 1}),
+                               i -> array_to_string(string_split(canon, ' ')[i:i + {_CFG.k_shingle - 1}], ' '))))
+                        END AS BIGINT) AS n_shingles
+            FROM c
+        """,
         "doc_near_dup_clusters": f"""
             WITH RECURSIVE
             {_pair_ctes()},

@@ -8,10 +8,15 @@ SoCC'14): O(log n) rounds of pure DataFrame groupBy/join, each round followed
 by ``localCheckpoint`` to cut lineage (an unbounded iterative plan otherwise
 blows up the optimizer and re-executes the whole chain on failure).
 
-Node ids are the fid strings themselves — any total order works, and string
-ids keep the per-row sha256/fid invariant intact end-to-end. At 10^12 nodes
-one would dictionary-encode fids to longs first (one extra join each way);
-the algorithm is unchanged.
+The iterative loop runs over DICTIONARY-ENCODED long node ids (default):
+the 64-char fid strings would otherwise be shuffled every round — at 10^12
+nodes that is ~8× the bytes of an 8-byte id. Encoding is one distinct +
+monotonically_increasing_id pass (pinned with an eager localCheckpoint so
+the non-deterministic ids are assigned exactly once), decoding is one join;
+the component label is then re-derived as the lexicographic MIN FID within
+each component, so the output contract is identical to the string path
+(which remains available via encode_ids=False and is cross-checked in
+tests).
 """
 
 from __future__ import annotations
@@ -65,7 +70,10 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 30, checkpoint: bool = True
+    pairs: DataFrame,
+    max_iter: int = 30,
+    checkpoint: bool = True,
+    encode_ids: bool = True,
 ) -> DataFrame:
     """(fid1, fid2) confirmed pairs → (fid, component) labels.
 
@@ -77,10 +85,34 @@ def connected_components(
     materializes it (one job per round) and cuts lineage so the iterative
     plan never grows. Edge partitioning is re-derived from the live edge
     count so late rounds (few edges) don't pay early-round task overhead.
+    With encode_ids (default) the loop shuffles 8-byte longs, not fid
+    strings (see module docstring).
     """
-    edges = _normalize(
+    str_edges = _normalize(
         pairs.select(F.col("fid1").alias("a"), F.col("fid2").alias("b"))
     )
+    if encode_ids:
+        nodes = (
+            str_edges.select(F.col("a").alias("fid"))
+            .unionAll(str_edges.select(F.col("b").alias("fid")))
+            .distinct()
+        )
+        # monotonically_increasing_id is assignment-nondeterministic: pin it
+        # ONCE with an eager localCheckpoint before anything consumes it
+        mapping = nodes.withColumn(
+            "nid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        ma = mapping.select(F.col("fid").alias("a"), F.col("nid").alias("na"))
+        mb = mapping.select(F.col("fid").alias("b"), F.col("nid").alias("nb"))
+        edges = (
+            str_edges.join(ma, "a")
+            .join(mb, "b")
+            .select(
+                F.greatest("na", "nb").alias("a"), F.least("na", "nb").alias("b")
+            )
+        )
+    else:
+        edges = str_edges
 
     def _materialize(df: DataFrame, n_edges: int | None) -> DataFrame:
         if not checkpoint:
@@ -107,7 +139,19 @@ def connected_components(
     roots = edges.select(F.col("b").alias("fid")).distinct().withColumn(
         "component", F.col("fid")
     )
-    return children.unionByName(roots).distinct()
+    labels = children.unionByName(roots).distinct()
+    if not encode_ids:
+        return labels
+    # decode: nid -> fid, then re-derive the component label as the MIN FID
+    # of each long-component (nid order is arbitrary, fid order is the
+    # contract)
+    dec = mapping.select(F.col("nid").alias("fid"), F.col("fid").alias("f"))
+    decoded = (
+        labels.join(dec, "fid")
+        .select(F.col("f").alias("fid"), F.col("component").alias("cnid"))
+    )
+    comp_min = decoded.groupBy("cnid").agg(F.min("fid").alias("component"))
+    return decoded.join(comp_min, "cnid").select("fid", "component")
 
 
 def connected_components_driver(pairs: DataFrame) -> DataFrame:

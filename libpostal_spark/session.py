@@ -19,6 +19,18 @@ def _tune_malloc() -> None:
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
 
 
+def _export_pythonpath() -> None:
+    """Make the package importable in local-mode Python workers regardless of
+    the driver's cwd (workers inherit the ENV, not the driver's sys.path).
+    On a cluster, spark-submit --py-files does this job instead."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + current if current else "")
+        )
+
+
 def get_spark(
     app_name: str = "libpostal_spark",
     master: str | None = None,
@@ -26,6 +38,7 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     _tune_malloc()
+    _export_pythonpath()
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:

@@ -54,3 +54,22 @@ def test_bridge_merges(spark):
     edges = [("a1", "a2"), ("b1", "b2"), ("a2", "b1")]
     lab = _cc(spark, edges)
     assert len(set(lab.values())) == 1
+
+
+def test_encoded_and_string_paths_agree(spark):
+    """The long-id loop (scale path) and the raw-string loop must produce
+    identical labels — min-fid component contract included."""
+    import random
+
+    rng = random.Random(3)
+    nodes = [f"fid{i:04d}" for i in range(120)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(90)]
+    df = spark.createDataFrame(edges, ["fid1", "fid2"])
+    enc = {r["fid"]: r["component"]
+           for r in connected_components(df, encode_ids=True).collect()}
+    raw = {r["fid"]: r["component"]
+           for r in connected_components(df, encode_ids=False).collect()}
+    assert enc == raw
+    # labels are real min-fids
+    for f, c in enc.items():
+        assert c <= f
