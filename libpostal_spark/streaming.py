@@ -57,6 +57,50 @@ def signature_sink(
     return writer.start()
 
 
+def stateful_exact_dup_stream(stream: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Streaming exact-dup detector with CROSS-BATCH state.
+
+    files stream → groupBy(sha256) → ``applyInPandasWithState``: per content
+    hash the state stores the first fid ever seen; every later arrival (same
+    micro-batch or any future one) emits an alert row referencing it. This is
+    the Spark-native custom stateful operator the batch pipeline's exact pass
+    corresponds to — state is one 64-byte fid per distinct content, so state
+    size tracks distinct-content count, not stream length.
+
+    Returns the alert DataFrame (append mode):
+        sha256, fid (the duplicate arrival), first_fid (the canonical copy).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ided = blocking.with_ids(stream).select("fid", "sha256")
+
+    def track(key, pdfs, state: GroupState):
+        sha = key[0]
+        first = state.get[0] if state.exists else None
+        out_fid, out_first = [], []
+        for pdf in pdfs:
+            for fid in sorted(pdf["fid"]):
+                if first is None:
+                    first = fid           # canonical copy: first arrival
+                    continue
+                out_fid.append(fid)
+                out_first.append(first)
+        state.update((first,))
+        if out_fid:
+            yield pd.DataFrame(
+                {"sha256": sha, "fid": out_fid, "first_fid": out_first}
+            )
+
+    return ided.groupBy("sha256").applyInPandasWithState(
+        track,
+        outputStructType="sha256 string, fid string, first_fid string",
+        stateStructType="first_fid string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def exact_dup_alerts(
     spark: SparkSession, new_sigs_dir: str, seen_sigs_dir: str
 ) -> DataFrame:

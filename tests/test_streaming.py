@@ -54,3 +54,54 @@ def test_exact_dup_alerts(spark, cfg, tmp_path):
 
     alerts = streaming.exact_dup_alerts(spark, new_dir, seen_dir)
     assert alerts.count() == 1
+
+
+def test_stateful_exact_dup_stream_cross_batch(spark, cfg, tmp_path):
+    """applyInPandasWithState keeps per-sha state ACROSS micro-batches: a
+    duplicate arriving in a later batch must alert against the first batch's
+    canonical fid."""
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "sckpt")
+    os.makedirs(src)
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    rows1 = pd.DataFrame(
+        [("r1", "a.py", "c", "py", "shared content"),
+         ("r2", "b.py", "c", "py", "shared content"),      # in-batch dup
+         ("r3", "c.py", "c", "py", "unique one")],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    spark.createDataFrame(rows1).write.mode("append").parquet(src)
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        alerts = streaming.stateful_exact_dup_stream(stream, cfg)
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    got1 = spark.read.parquet(sink).collect()
+    assert len(got1) == 1                      # the in-batch dup
+    first_fid = got1[0]["first_fid"]
+    assert got1[0]["fid"] != first_fid
+
+    # batch 2: another copy of the same content, much later
+    rows2 = pd.DataFrame(
+        [("r9", "z.py", "c", "py", "shared content")],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    spark.createDataFrame(rows2).write.mode("append").parquet(src)
+    run_pass()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 2
+    # the new alert references the ORIGINAL canonical fid (cross-batch state)
+    new = [r for r in got2 if r["fid"] not in {g["fid"] for g in got1}][0]
+    assert new["first_fid"] == first_fid
