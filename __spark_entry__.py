@@ -170,12 +170,30 @@ def _q_ann_topk(spark, sf_dir):
 
 
 _ANN = dict(n_tables=8, n_bits=4, multiprobe=1, seed=42)
+_ANN_SIG_CACHE: dict = {}
+
+
+def _ann_sigs(spark, sf_dir, dim: int):
+    """Persisted ANN signature index, computed once per session per sf_dir —
+    the scale contract: probes are key lookups against a stored index, never
+    per-query signature recomputation."""
+    key = (id(spark._jsc), sf_dir)
+    if key not in _ANN_SIG_CACHE:
+        sigs = similarity.ann_signatures(
+            _embs(spark, sf_dir), dim,
+            n_tables=_ANN["n_tables"], n_bits=_ANN["n_bits"], seed=_ANN["seed"],
+        ).persist()
+        sigs.count()
+        _ANN_SIG_CACHE[key] = sigs
+    return _ANN_SIG_CACHE[key]
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.lsh_topk(embs, qvec, k=10, **_ANN)
+    return similarity.lsh_topk(
+        embs, qvec, k=10, signatures=_ann_sigs(spark, sf_dir, len(qvec)), **_ANN
+    )
 
 
 def _q_signatures(spark, sf_dir):
