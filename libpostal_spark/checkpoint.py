@@ -13,12 +13,13 @@ Resume semantics:
   config_hash AND input_fingerprint match — re-running with a different
   input invalidates the cache instead of silently serving stale state.
 * per-partition (``partitioned_stage``): the expensive signatures stage is
-  hash-partitioned by ``pt = xxhash64(fid) % n_pt``; on resume, only input
-  rows whose pt has NO matching manifest row are recomputed (the north
-  rule's "per-partition lineage"). Data is written with dynamic partition
-  overwrite, so a partition that died after its data write but before its
-  manifest row is re-written in place — no duplicates, exactly-once per
-  partition.
+  hash-partitioned by ``pt = xxhash64(fid) % n_pt`` and COMMITTED IN
+  PARTITION GROUPS — each group's data write (dynamic partition overwrite)
+  is immediately followed by its manifest rows, so a mid-stage kill loses
+  only the in-flight group and the next run's anti-join recomputes exactly
+  the partitions with no manifest row. A partition that died after its data
+  write but before its manifest row is re-written in place — no duplicates,
+  exactly-once per partition.
 
 On a real cluster these tables are Iceberg (``writeTo(...).append()``;
 snapshot id = the lineage pointer) — parquet-dir + manifest table is the
@@ -111,6 +112,18 @@ class CheckpointStore:
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._data_dir(stage))
 
+    def _wipe(self, stage: str) -> None:
+        """Remove a stage's data+manifest through the Hadoop FS layer (works
+        on HDFS/S3, not just the local filesystem)."""
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        conf = jsc.hadoopConfiguration()
+        for d in (self._data_dir(stage), self._manifest_dir(stage)):
+            path = jvm.org.apache.hadoop.fs.Path(d)
+            fs = path.getFileSystem(conf)
+            if fs.exists(path):
+                fs.delete(path, True)
+
     # ------------------------------------------------------ whole stages
     def stage(
         self,
@@ -158,6 +171,7 @@ class CheckpointStore:
         input_fingerprint: str | None,
         n_pt: int = 32,
         pt_expr: str = "pmod(xxhash64(fid), {n})",
+        pts_per_commit: int = 8,
     ) -> DataFrame:
         """Per-partition resumable stage (north rule: per-partition lineage).
 
@@ -174,33 +188,45 @@ class CheckpointStore:
         todo_pts = [p for p in range(n_pt) if p not in done]
         t0 = time.time()
         if todo_pts:
-            todo = keyed if not done else keyed.filter(~F.col("pt").isin(sorted(done)))
-            out = fn(todo.drop("pt")).withColumn("pt", F.expr(expr))
-            writer = out.write.mode("overwrite").partitionBy("pt")
-            if done:
-                # resuming THIS input: replace only the recomputed partitions
-                writer = writer.option("partitionOverwriteMode", "dynamic")
-            # else: fresh input (fingerprint changed or first run) — static
-            # overwrite wipes the whole data dir, so no stale partitions from
-            # a previous input survive; the manifest is rewritten to match
-            writer.parquet(self._data_dir(name))
-            written = self.spark.read.parquet(self._data_dir(name)).filter(
-                F.col("pt").isin(todo_pts)
-            )
-            per_pt = {
-                r["pt"]: r["n"]
-                for r in written.groupBy("pt").agg(F.count("*").alias("n")).collect()
-            }
-            wall_ms = int((time.time() - t0) * 1000)
-            self._append_manifest(
-                [
-                    dict(stage=name, input_fingerprint=input_fingerprint,
-                         pt=int(p), rows=int(per_pt.get(p, 0)),
-                         wall_ms=wall_ms // max(1, len(todo_pts)))
-                    for p in todo_pts
-                ],
-                overwrite=not done,
-            )
+            fresh = not done
+            if fresh:
+                # fresh input (fingerprint changed or first run): wipe the
+                # stage so no stale partitions from a previous input survive
+                self._wipe(name)
+            # commit in PARTITION GROUPS: data + manifest land together per
+            # group, so a mid-stage kill loses only the in-flight group —
+            # the next run's anti-join recomputes just that remainder. This
+            # is what makes the per-partition lineage actually recoverable
+            # (a single stage-wide write would commit all-or-nothing).
+            for i in range(0, len(todo_pts), pts_per_commit):
+                group = todo_pts[i : i + pts_per_commit]
+                g0 = time.time()
+                todo = keyed.filter(F.col("pt").isin(group))
+                out = fn(todo.drop("pt")).withColumn("pt", F.expr(expr))
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("pt")
+                    .parquet(self._data_dir(name))
+                )
+                written = self.spark.read.parquet(self._data_dir(name)).filter(
+                    F.col("pt").isin(group)
+                )
+                per_pt = {
+                    r["pt"]: r["n"]
+                    for r in written.groupBy("pt")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                g_ms = int((time.time() - g0) * 1000)
+                self._append_manifest(
+                    [
+                        dict(stage=name, input_fingerprint=input_fingerprint,
+                             pt=int(p), rows=int(per_pt.get(p, 0)),
+                             wall_ms=g_ms // max(1, len(group)))
+                        for p in group
+                    ],
+                )
         self.metrics.append(
             dict(
                 stage=name,
@@ -252,5 +278,8 @@ class NullStore(CheckpointStore):
         )
         return df
 
-    def partitioned_stage(self, name, input_df, fn, input_fingerprint=None, n_pt=32, pt_expr=""):
+    def partitioned_stage(
+        self, name, input_df, fn, input_fingerprint=None, n_pt=32, pt_expr="",
+        pts_per_commit=8,
+    ):
         return self.stage(name, lambda: fn(input_df))

@@ -249,12 +249,6 @@ def expand_alternatives_tokens(
 
     forms: list[str] = []
     option_counts = [len(s.alts) + 1 for s in segments]   # alts + original
-    total = 1
-    for c in option_counts:
-        total *= c
-        if total >= max_expansions:
-            total = max_expansions
-            break
     for combo in itertools.product(*(range(c) for c in option_counts)):
         forms.append(render(dict(enumerate(combo))))
         if len(forms) >= max_expansions:

@@ -85,16 +85,20 @@ class DedupPipeline:
         resumable = not isinstance(self.store, NullStore)
         in_memory = persist_intermediate and not resumable
         fp = None
+        if resumable:
+            # ALWAYS fingerprint the input when resuming — including the
+            # precomputed-signatures path, or downstream stages would match
+            # manifests written for a different dataset
+            fp = input_fingerprint(files)
         if signatures is not None:
             sigs = signatures
         elif resumable:
-            # one cheap fingerprint scan keys every stage to THIS input — a
-            # re-run against a different table invalidates the cache instead
-            # of silently serving the previous dataset's state. The expensive
+            # the fingerprint keys every stage to THIS input — a re-run
+            # against a different table invalidates the cache instead of
+            # silently serving the previous dataset's state. The expensive
             # featurize stage resumes at PARTITION granularity (pt =
             # xxhash64(fid) % n): only partitions missing from the manifest
             # recompute after a mid-stage kill.
-            fp = input_fingerprint(files)
             ided = blocking.with_ids(files)
             sigs = self.store.partitioned_stage(
                 "signatures",

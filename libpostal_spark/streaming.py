@@ -77,20 +77,21 @@ def stateful_exact_dup_stream(stream: DataFrame, cfg: PipelineConfig) -> DataFra
 
     def track(key, pdfs, state: GroupState):
         sha = key[0]
-        first = state.get[0] if state.exists else None
-        out_fid, out_first = [], []
+        # drain ALL Arrow chunks before choosing the canonical copy — a
+        # per-chunk pick would make first_fid depend on chunk boundaries
+        fids: list[str] = []
         for pdf in pdfs:
-            for fid in sorted(pdf["fid"]):
-                if first is None:
-                    first = fid           # canonical copy: first arrival
-                    continue
-                out_fid.append(fid)
-                out_first.append(first)
+            fids.extend(pdf["fid"])
+        fids.sort()
+        if state.exists:
+            first = state.get[0]
+            dups = fids
+        else:
+            first = fids[0]               # canonical copy: min fid of batch 1
+            dups = fids[1:]
         state.update((first,))
-        if out_fid:
-            yield pd.DataFrame(
-                {"sha256": sha, "fid": out_fid, "first_fid": out_first}
-            )
+        if dups:
+            yield pd.DataFrame({"sha256": sha, "fid": dups, "first_fid": first})
 
     return ided.groupBy("sha256").applyInPandasWithState(
         track,

@@ -161,3 +161,58 @@ def test_partition_level_resume(spark, tmp_path):
     store3.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=n_pt)
     assert seen == []
     assert store3.metrics[-1]["resumed"] is True
+
+
+def test_mid_stage_kill_recovers_committed_groups(spark, tmp_path):
+    """A REAL mid-stage failure (not hand-crafted state): the compute fn dies
+    after the first partition group committed. The rerun must resume from the
+    committed groups and recompute only the rest."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "kill_ckpt")
+    n_pt = 8
+    input_df = spark.createDataFrame(
+        [(f"fid{i:03d}", i) for i in range(200)], "fid string, v long"
+    )
+
+    calls = {"n": 0}
+    seen: list[str] = []
+
+    def dying_fn(sub):
+        calls["n"] += 1
+        if calls["n"] == 2:                  # first group commits, then "kill"
+            raise RuntimeError("simulated executor loss")
+        return sub.withColumn("out", F.col("v") * 2)
+
+    store1 = CheckpointStore(spark, root, "cfgK")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        store1.partitioned_stage(
+            "sigs", input_df, dying_fn, "fpK", n_pt=n_pt, pts_per_commit=4
+        )
+    committed = set(store1.completed("sigs", "fpK"))
+    assert len(committed) == 4               # exactly the first group
+
+    def good_fn(sub):
+        seen.extend(r["fid"] for r in sub.select("fid").collect())
+        return sub.withColumn("out", F.col("v") * 2)
+
+    store2 = CheckpointStore(spark, root, "cfgK")
+    out = store2.partitioned_stage(
+        "sigs", input_df, good_fn, "fpK", n_pt=n_pt, pts_per_commit=4
+    )
+    got = {(r["fid"], r["out"]) for r in out.collect()}
+    assert got == {(f"fid{i:03d}", 2 * i) for i in range(200)}
+    # only the uncommitted partitions' rows were recomputed
+    uncommitted = {
+        r["fid"]
+        for r in input_df.withColumn("pt", F.expr(f"pmod(xxhash64(fid), {n_pt})"))
+        .filter(~F.col("pt").isin(sorted(committed)))
+        .select("fid")
+        .collect()
+    }
+    assert set(seen) == uncommitted
+    assert 0 < len(seen) < 200
