@@ -87,66 +87,64 @@ def canonicalize_batch(
     s = s.str.replace(_RE_CAMEL_1, r"\1 \2", regex=True)
     s = s.str.replace("_", " ", regex=False)
     s = s.str.lower()
-    toks = s.str.findall(_RE_TOKEN)
+    joined = s.str.findall(_RE_TOKEN).str.join(" ")
     if expansions or fold_numbers:
-        rewrite = make_token_rewriter(expansions, fold_numbers)
-        toks = toks.map(rewrite)
-    return toks.str.join(" ")
+        joined, _ = rewrite_joined_batch(joined, expansions, fold_numbers)
+    return joined
 
 
-def make_token_rewriter(
-    expansions: dict[str, str] | None, fold_numbers: bool = False
-):
-    """token-list rewriter with multi-token PHRASE support.
+def _doubled(tokens: str) -> str:
+    """' a  b ' form: every token owns one space on each side, so a bounded
+    string REPLACE of one doubled form with another can only match whole
+    tokens and never steals a neighbor's boundary space."""
+    return " " + tokens.replace(" ", "  ") + " "
+
+
+# a whole numeric token in the doubled-space form (fold_numbers target)
+_RE_NUMBER_TOKEN = re.compile(r" \d+(?:\.\d+)? ")
+_RE_MULTISPACE = re.compile(r" +")
+
+
+def rewrite_joined_batch(
+    joined: pd.Series,
+    expansions: dict[str, str] | None,
+    fold_numbers: bool = False,
+    count_matches: bool = False,
+) -> tuple[pd.Series, pd.Series | None]:
+    """Vectorized dictionary rewriter with multi-token PHRASE support.
 
     Keys containing spaces are phrases matched over the token stream — the
     analog of the reference's trie-based multi-token gazetteer search
     (``search_address_dictionaries_tokens``,
     /root/reference/src/address_dictionary.c:286-311; longest-match walk
     /root/reference/src/trie_search.c:240). Semantics: PATTERN-priority —
-    each phrase, in deterministic priority order (longest first, then
-    lexicographic), replaces all its non-overlapping occurrences
-    left-to-right in one pass; single-token expansions apply after. No
-    cascading (a replacement's output is never re-matched). These are
-    exactly the semantics of a chain of space-bounded string REPLACEs, which
-    is how the DuckDB oracle twin replays them (phrase_priority_order keeps
-    the two in lockstep).
+    each key, in deterministic priority order (phrase_priority_order),
+    replaces all its non-overlapping occurrences left-to-right in one pass.
+
+    Implementation is a chain of space-bounded string REPLACEs over the
+    doubled-space form — one pandas ``.str.replace`` (a C loop) per
+    dictionary PATTERN, zero per-row Python — which is byte-for-byte the
+    computation the DuckDB oracle twin performs (__spark_entry__,
+    _expanded_canon_sql). fold_numbers collapses whole numeric tokens to
+    '0' after all expansions (the analog of the reference's digits→D
+    normalization, /root/reference/src/normalize.c:393-506).
+
+    Returns (rewritten, match_counts); match_counts (non-overlapping match
+    count per row, summed over patterns on the evolving string — the
+    ``expand_alternatives`` segment count) is None unless count_matches.
     """
     exp = expansions or {}
-    singles: dict[str, list[str]] = {}
-    phrases: list[tuple[tuple[str, ...], list[str]]] = []
+    s = " " + joined.str.replace(" ", "  ", regex=False) + " "
+    m = pd.Series(0, index=joined.index, dtype="int64") if count_matches else None
     for k, v in phrase_priority_order(exp):
-        parts = tuple(k.split(" "))
-        repl = v.split(" ")
-        if len(parts) == 1:
-            singles[k] = repl
-        else:
-            phrases.append((parts, repl))
-
-    def rewrite(tt: list[str]) -> list[str]:
-        for parts, repl in phrases:
-            m = len(parts)
-            out: list[str] = []
-            i, n = 0, len(tt)
-            while i < n:
-                if tt[i] == parts[0] and i + m <= n and tuple(tt[i : i + m]) == parts:
-                    out.extend(repl)
-                    i += m
-                else:
-                    out.append(tt[i])
-                    i += 1
-            tt = out
-        if singles or fold_numbers:
-            out = []
-            for t in tt:
-                for r in singles.get(t, (t,)):
-                    if fold_numbers and _RE_NUMBER.match(r):
-                        r = "0"
-                    out.append(r)
-            tt = out
-        return tt
-
-    return rewrite
+        pat, rep = _doubled(k), _doubled(v)
+        if count_matches:
+            m = m + s.str.count(re.escape(pat))
+        s = s.str.replace(pat, rep, regex=False)
+    if fold_numbers:
+        s = s.str.replace(_RE_NUMBER_TOKEN, " 0 ", regex=True)
+    s = s.str.replace(_RE_MULTISPACE, " ", regex=True).str.strip()
+    return s, m
 
 
 def phrase_priority_order(exp: dict[str, str]) -> list[tuple[str, str]]:

@@ -173,8 +173,21 @@ def make_expand_udf(
     The alternatives LIST itself is available via
     core.canonicalize.expand_alternatives; this UDF projects the
     SQL-twinnable summary for the harness.
+
+    Fully vectorized for single-alternative dictionaries (every shipped
+    one): canon_root is the chained doubled-space REPLACE pass
+    (rewrite_joined_batch — the same C-loop computation the SQL twin runs),
+    n_matches its running match count, and n_alternatives = min(2^m, cap)
+    because each of the m matched segments contributes {replacement,
+    original}. Dictionaries with '|' multi-alternative values fall back to
+    the exact per-row enumeration (expand_alternatives_tokens) — that path
+    must count len(alts)+1 options per segment, which a REPLACE chain
+    cannot express.
     """
-    from ..core.canonicalize import expand_alternatives_tokens
+    from ..core.canonicalize import (
+        expand_alternatives_tokens,
+        rewrite_joined_batch,
+    )
 
     schema = T.StructType(
         [
@@ -184,11 +197,30 @@ def make_expand_udf(
             T.StructField("n_alternatives", T.IntegerType()),
         ]
     )
+    vectorized = not any("|" in v for v in (expansions or {}).values())
 
     @F.pandas_udf(schema)
     def expand_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for content in it:
             base = canonicalize_batch(content)
+            if vectorized:
+                root, m = rewrite_joined_batch(
+                    base, expansions, count_matches=True
+                )
+                cap_bits = max(0, (max_expansions - 1).bit_length())
+                na = np.minimum(
+                    np.left_shift(1, np.minimum(m.to_numpy(), cap_bits + 1)),
+                    max_expansions,
+                )
+                yield pd.DataFrame(
+                    {
+                        "canon_full": base,
+                        "canon_root": root,
+                        "n_matches": m.astype("int32"),
+                        "n_alternatives": pd.array(na, dtype="int32"),
+                    }
+                )
+                continue
             full, root, nm, na = [], [], [], []
             for b in base:
                 toks = b.split(" ") if b else []
@@ -206,4 +238,5 @@ def make_expand_udf(
                 }
             )
 
+    expand_udf.vectorized = vectorized
     return expand_udf

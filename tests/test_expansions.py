@@ -153,3 +153,22 @@ def test_expansion_counts_sql_twin_on_adversarial_strings():
         assert row["canon_root"] == forms[0], texts[i]
         assert int(row["n_matches"]) == m, texts[i]
         assert int(row["n_alternatives"]) == len(forms), texts[i]
+
+
+def test_expansion_path_is_vectorized():
+    """North rule: no per-row Python on the expansion path. The rewriter must
+    be the chained .str.replace pass (C loops, one per dictionary PATTERN),
+    and the expand UDF must take its vectorized branch for every shipped
+    (single-alternative) dictionary."""
+    import inspect
+
+    from libpostal_spark.core import canonicalize as C
+    from libpostal_spark.functions.udfs import make_expand_udf
+
+    src = inspect.getsource(C.canonicalize_batch) + inspect.getsource(
+        C.rewrite_joined_batch
+    )
+    assert ".map(" not in src  # the old toks.map(rewrite) row loop
+    assert make_expand_udf(dict(DEFAULT_CODE_EXPANSIONS)).vectorized
+    # '|' multi-alternative values need per-segment option counts -> exact path
+    assert not make_expand_udf({"tmp": "temporary|temp"}).vectorized
