@@ -91,22 +91,45 @@ def dup_status_pairs(
     documents: DataFrame,
     cfg: PipelineConfig | None = None,
     signatures: DataFrame | None = None,
+    max_pairs_per_class: int = 10_000,
 ) -> DataFrame:
+    """Graded duplicate pairs — see ``dup_status_pairs_with_ledger``."""
+    pairs, _ = dup_status_pairs_with_ledger(
+        spark, documents, cfg, signatures, max_pairs_per_class
+    )
+    return pairs
+
+
+def dup_status_pairs_with_ledger(
+    spark,
+    documents: DataFrame,
+    cfg: PipelineConfig | None = None,
+    signatures: DataFrame | None = None,
+    max_pairs_per_class: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
     """Graded duplicate pairs: every pair with same sha256 or Jaccard >=
     cfg.jaccard_threshold, with the reference's 4-level status
     (/root/reference/src/libpostal.h:218-224; is_dupe thresholds
     /root/reference/src/libpostal.c:185-193).
 
-    Output: doc_id1, doc_id2 (ordered by fid), jaccard (4dp), status.
+    Output: (pairs, ledger). pairs: doc_id1, doc_id2 (ordered by fid),
+    jaccard (4dp), status. ledger: one row per CAPPED expansion (kind,
+    n_members, pairs_emitted, pairs_suppressed) — the no-silent-caps
+    contract: a truncated listing is always visible as data.
 
     This is the pairs-LISTING api — its output is by definition quadratic in
     duplicate-class size (an exact class of n docs yields n(n-1)/2 exact
     pairs), so the listing re-expands the pipeline's O(n) star/rep
-    representation. At scale you consume `minhash_clusters` (linear labels);
-    this listing exists for the pairwise-API parity the reference's
-    test_dedupe suite asserts. Winnow-only confirms (jaccard below the
-    needs-review bar) are excluded — they are a long-clone signal, not a
-    whole-file duplicate grade.
+    representation. ``max_pairs_per_class`` bounds that re-expansion: a
+    class (or near-dup class product) whose full listing would exceed the
+    cap emits STAR pairs through its representative(s) instead — O(n) rows,
+    still covering every member — and books the suppressed count in the
+    ledger. A 10^6-copy boilerplate class therefore cannot detonate the
+    listing into 5×10^11 rows. At scale you consume `minhash_clusters`
+    (linear labels); this listing exists for the pairwise-API parity the
+    reference's test_dedupe suite asserts. Winnow-only confirms (jaccard
+    below the needs-review bar) are excluded — they are a long-clone
+    signal, not a whole-file duplicate grade.
     """
     cfg = cfg or PipelineConfig()
     files = docs_as_files(documents)
@@ -114,17 +137,31 @@ def dup_status_pairs(
     sigs = res.signatures
     ids = sigs.select("fid", F.col("path").cast("long").alias("doc_id"))
     w = Window.partitionBy("sha256")
-    members = sigs.select("fid", "sha256").withColumn("rep", F.min("fid").over(w))
+    members = (
+        sigs.select("fid", "sha256")
+        .withColumn("rep", F.min("fid").over(w))
+        .withColumn("csize", F.count("*").over(w))
+    )
+    cap = F.lit(max_pairs_per_class)
 
     # near-dup pairs: rep<->rep confirms expanded to every member pair
-    # (identical content => identical jaccard to any third file)
+    # (identical content => identical jaccard to any third file) — unless
+    # the class product exceeds the cap, in which case only the star pairs
+    # through each side's representative are listed
     near = res.confirmed.filter(
         F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
     ).select("fid1", "fid2", "jaccard", "status")
+    csizes = members.groupBy("rep").agg(F.first("csize").alias("n"))
+    near = (
+        near.join(csizes.select(F.col("rep").alias("fid1"), F.col("n").alias("n1")), "fid1")
+        .join(csizes.select(F.col("rep").alias("fid2"), F.col("n").alias("n2")), "fid2")
+        .withColumn("capped", F.col("n1") * F.col("n2") > cap)
+    )
     m1 = members.select(F.col("rep").alias("fid1"), F.col("fid").alias("u"))
     m2 = members.select(F.col("rep").alias("fid2"), F.col("fid").alias("v"))
-    near_exp = (
-        near.join(m1, "fid1")
+    near_full = (
+        near.filter(~F.col("capped"))
+        .join(m1, "fid1")
         .join(m2, "fid2")
         .select(
             F.least("u", "v").alias("fid_a"),
@@ -133,32 +170,93 @@ def dup_status_pairs(
             "status",
         )
     )
+    near_capped = near.filter(F.col("capped"))
+    near_star = (
+        near_capped.join(m2, "fid2")
+        .select("fid1", F.col("v").alias("other"), "jaccard", "status")
+        .unionByName(
+            near_capped.join(m1, "fid1").select(
+                F.col("fid2").alias("fid1"),
+                F.col("u").alias("other"),
+                "jaccard",
+                "status",
+            )
+        )
+        .select(
+            F.least("fid1", "other").alias("fid_a"),
+            F.greatest("fid1", "other").alias("fid_b"),
+            "jaccard",
+            "status",
+        )
+        .distinct()   # (rep1, rep2) arrives from both star fans
+    )
 
-    # exact pairs: all member pairs within each sha256 class
-    xa = members.select("sha256", F.col("fid").alias("fid_a"))
-    xb = members.select("sha256", F.col("fid").alias("fid_b"))
+    # exact pairs: all member pairs within each sha256 class; classes whose
+    # n(n-1)/2 exceeds the cap list only the n-1 star pairs to the rep
+    exact_small = members.filter(
+        F.col("csize") * (F.col("csize") - 1) / 2 <= cap
+    )
+    xa = exact_small.select("sha256", F.col("fid").alias("fid_a"))
+    xb = exact_small.select("sha256", F.col("fid").alias("fid_b"))
     exact = (
         xa.join(xb, "sha256")
         .filter(F.col("fid_a") < F.col("fid_b"))
-        .select(
-            "fid_a",
-            "fid_b",
-            F.lit(1.0).alias("jaccard"),
-            F.lit(verify.STATUS_EXACT).alias("status"),
+        .select("fid_a", "fid_b")
+    )
+    exact_star = (
+        members.filter(
+            (F.col("csize") * (F.col("csize") - 1) / 2 > cap)
+            & (F.col("fid") != F.col("rep"))
         )
+        .select(F.col("rep").alias("fid_a"), F.col("fid").alias("fid_b"))
+    )
+    exact_all = exact.unionByName(exact_star).select(
+        "fid_a",
+        "fid_b",
+        F.lit(1.0).alias("jaccard"),
+        F.lit(verify.STATUS_EXACT).alias("status"),
     )
 
-    pairs = exact.unionByName(near_exp)
+    pairs = exact_all.unionByName(near_full).unionByName(near_star)
     out = (
         pairs.join(ids.withColumnRenamed("fid", "fid_a"), "fid_a")
         .withColumnRenamed("doc_id", "doc_id1")
         .join(ids.withColumnRenamed("fid", "fid_b"), "fid_b")
         .withColumnRenamed("doc_id", "doc_id2")
     )
+
+    full = F.col("n1") * F.col("n2")
+    ledger = (
+        members.filter(F.col("csize") * (F.col("csize") - 1) / 2 > cap)
+        .groupBy("sha256")
+        .agg(F.first("csize").alias("n_members"))
+        .select(
+            F.lit("exact").alias("kind"),
+            F.col("n_members").cast("long"),
+            (F.col("n_members") - 1).cast("long").alias("pairs_emitted"),
+            (
+                F.col("n_members") * (F.col("n_members") - 1) / 2
+                - (F.col("n_members") - 1)
+            ).cast("long").alias("pairs_suppressed"),
+        )
+        .unionByName(
+            near_capped.select(
+                F.lit("near").alias("kind"),
+                (F.col("n1") + F.col("n2")).cast("long").alias("n_members"),
+                (F.col("n1") + F.col("n2") - 1).cast("long").alias("pairs_emitted"),
+                (full - F.col("n1") - F.col("n2") + 1).cast("long").alias(
+                    "pairs_suppressed"
+                ),
+            )
+        )
+    )
     # res stays persisted until the caller collects `out` (lazy lineage);
     # one-shot query wrappers let session teardown reclaim the cache
-    return out.select(
-        "doc_id1", "doc_id2", F.round("jaccard", 4).alias("jaccard"), "status"
+    return (
+        out.select(
+            "doc_id1", "doc_id2", F.round("jaccard", 4).alias("jaccard"), "status"
+        ),
+        ledger,
     )
 
 

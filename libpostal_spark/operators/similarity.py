@@ -60,27 +60,49 @@ def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
+    max_exact_rows: int = 200_000,
+    n_rows: int | None = None,
+    dim: int | None = None,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1 < id2, cos_sim) with
-    cos >= threshold — exact over the full pair universe.
+    cos >= threshold.
 
-    Physical strategy: broadcast the (small) normalized embedding matrix and
-    score each partition's rows against it with one BLAS matmul inside
-    mapInPandas — O(n²) flops at memory-bandwidth speed, emitting only rows
-    j > i so each unordered pair appears once. (A JVM zip_with/aggregate
-    fold over a self-join computes the same thing ~1000× slower: per-element
-    lambda allocation, no SIMD.) The broadcast bounds this exact operator to
-    matrices that fit an executor (~10^6 × dim floats); beyond that,
-    generate candidates with ``ann_signatures`` (shared-key bucket join) and
-    re-rank those — this exact form is the oracle-checkable baseline the
-    approximate path is measured against."""
-    import numpy as np
+    Two physical strategies, routed by corpus size:
+
+    * n <= max_exact_rows — EXACT over the full pair universe: broadcast the
+      normalized embedding matrix and score each partition's rows against it
+      with one BLAS matmul inside mapInPandas (O(n²) flops at
+      memory-bandwidth speed; a JVM zip_with/aggregate fold computes the
+      same thing ~1000× slower). This is the oracle-checkable baseline.
+    * n > max_exact_rows — BUCKETED (the 100 TB path, zero driver-side
+      data): candidates are pairs sharing >= 1 ``ann_signatures``
+      hyperplane-LSH table key (a distributed self-join on the key column),
+      exact-cosine re-ranked by a vectorized pair UDF. Approximate by
+      construction — recall is the multi-table sign-LSH bound documented in
+      the module docstring — and never collects, broadcasts, or buckets
+      more than one LSH bucket's pairs per task.
+
+    Pass n_rows to skip the routing count; dim is required only when it
+    can't be read off the first embedding (the LSH path needs the plane
+    shapes before any action).
+    """
+    if n_rows is None:
+        n_rows = embeddings.count()
+    if n_rows > max_exact_rows:
+        return cosine_pairs_bucketed(
+            embeddings, threshold, id_col=id_col, dim=dim,
+            n_tables=n_tables, n_bits=n_bits, seed=seed,
+        )
 
     rows = embeddings.select(F.col(id_col).cast("long"), "embedding").collect()
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0, 1.0, norms)   # zero vectors score cos 0
     sc = embeddings.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
 
@@ -92,7 +114,8 @@ def cosine_pairs(
             out_1, out_2, out_c = [], [], []
             for vid, emb in zip(pdf[id_col], pdf["embedding"]):
                 v = np.array(emb, dtype=np.float64)   # copy: Arrow buffers are read-only
-                v /= np.linalg.norm(v)
+                nv = np.linalg.norm(v)
+                v /= nv if nv else 1.0
                 sims = np.round(all_mat @ v, 4)
                 mask = (all_ids > vid) & (sims >= threshold)
                 js = np.nonzero(mask)[0]
@@ -105,6 +128,65 @@ def cosine_pairs(
 
     return embeddings.select(F.col(id_col).cast("long").alias(id_col), "embedding").mapInPandas(
         score, schema="vec_id1 long, vec_id2 long, cos_sim double"
+    )
+
+
+def make_pair_cosine_udf():
+    """(embedding1, embedding2) -> exact cosine, 4dp, zero-norm-safe.
+    Arrow-batched BLAS row-wise dot — the re-rank kernel for bucketed pairs."""
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cos(e1: pd.Series, e2: pd.Series) -> pd.Series:
+        a = np.vstack(e1.to_numpy()).astype(np.float64)
+        b = np.vstack(e2.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        denom = na * nb
+        sims = np.einsum("ij,ij->i", a, b) / np.where(denom == 0, 1.0, denom)
+        return pd.Series(np.round(sims, 4))
+
+    return pair_cos
+
+
+def cosine_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed near-dup pair mining: shared-LSH-key candidate self-join +
+    exact cosine re-rank. No driver-side collect anywhere in the plan — the
+    candidate stream shuffles on the 16-byte key, the re-rank joins shuffle
+    on the id. At 10^9 rows you persist ``ann_signatures`` bucketed by key
+    and both joins co-locate."""
+    if dim is None:
+        dim = len(
+            embeddings.select("embedding").first()["embedding"]
+        )
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col), "embedding"
+    )
+    sigs = ann_signatures(emb, dim, n_tables, n_bits, seed, id_col)
+    a = sigs.select(F.col(id_col).alias("vec_id1"), "key")
+    b = sigs.select(F.col(id_col).alias("vec_id2"), "key")
+    cands = (
+        a.join(b, "key")
+        .filter(F.col("vec_id1") < F.col("vec_id2"))
+        .select("vec_id1", "vec_id2")
+        .distinct()
+    )
+    e1 = emb.select(F.col(id_col).alias("vec_id1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col(id_col).alias("vec_id2"), F.col("embedding").alias("e2"))
+    pair_cos = make_pair_cosine_udf()
+    return (
+        cands.join(e1, "vec_id1")
+        .join(e2, "vec_id2")
+        .withColumn("cos_sim", pair_cos(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_id1", "vec_id2", "cos_sim")
     )
 
 

@@ -86,3 +86,57 @@ def test_status_expr_thresholds(spark):
         verify.STATUS_NEEDS_REVIEW,
         verify.STATUS_NEEDS_REVIEW,
     ]
+
+
+def test_dup_status_pairs_class_cap(spark):
+    """A mega exact class must NOT detonate quadratically: above the
+    per-class cap only the n-1 star pairs are listed and the ledger books
+    the suppressed count (no-silent-caps)."""
+    n = 200
+    rows = [(i, "identical content " * 20, "en", "s") for i in range(n)]
+    rows.append((n, "totally different words here", "en", "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    pairs, ledger = dedup.dup_status_pairs_with_ledger(
+        spark, docs, PipelineConfig(), max_pairs_per_class=10_000
+    )
+    got = pairs.collect()
+    # star listing: exactly n-1 pairs, all anchored at the class rep (doc 0)
+    assert len(got) == n - 1
+    assert all(r["status"] == verify.STATUS_EXACT for r in got)
+    # all anchored at one rep doc (the class min-FID; fid order != doc order)
+    assert len({r["doc_id1"] for r in got}) == 1
+    led = ledger.collect()
+    assert len(led) == 1
+    assert led[0]["kind"] == "exact"
+    assert led[0]["pairs_emitted"] == n - 1
+    assert led[0]["pairs_suppressed"] == n * (n - 1) // 2 - (n - 1)
+
+
+def test_dup_status_pairs_near_cap(spark):
+    """Capped near-dup class products list star pairs through each rep and
+    ledger the rest; uncapped output is unchanged (subset check)."""
+    base = " ".join(f"tok{i} fill{i}" for i in range(30))
+    near = base + " extra tail"
+    rows = [(i, base, "en", "s") for i in range(4)] + [
+        (10 + i, near, "en", "s") for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    full = dedup.dup_status_pairs(spark, docs, cfg)  # cap not hit
+    capped, ledger = dedup.dup_status_pairs_with_ledger(
+        spark, docs, cfg, max_pairs_per_class=8
+    )
+    full_set = {(r["doc_id1"], r["doc_id2"]) for r in full.collect()}
+    capped_rows = capped.collect()
+    capped_set = {(r["doc_id1"], r["doc_id2"]) for r in capped_rows}
+    assert capped_set <= full_set
+    led = {r["kind"]: r for r in ledger.collect()}
+    # near product 4*4=16 > 8 -> capped to 4+4-1=7 star pairs
+    assert led["near"]["pairs_emitted"] == 7
+    assert led["near"]["pairs_suppressed"] == 16 - 7
+    n_near = sum(1 for r in capped_rows if r["status"] != verify.STATUS_EXACT)
+    assert n_near == 7

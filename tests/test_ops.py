@@ -224,3 +224,68 @@ def test_bpe_token_count_matches_python(spark):
     got = {r["doc_id"]: r["n"] for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(BPE_PATTERN, t)), (t, got[i], re.findall(BPE_PATTERN, t))
+
+
+def test_cosine_pairs_bucketed_no_collect_and_recall(spark):
+    """The scale path (n > max_exact_rows) must route to the bucketed
+    LSH-candidate plan — zero driver-side collect, plain DataFrame lineage —
+    and its surviving pairs must be a subset of the exact pairs with exact
+    (re-ranked) scores; at a near-dup threshold recall should be high."""
+    import numpy as np
+
+    from libpostal_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # plant 20 near-duplicates: small perturbations of the first 20 rows
+    near = base[:20] + 0.05 * rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    # force the bucketed route by setting the bound below n
+    out = similarity.cosine_pairs(
+        df, threshold=0.9, max_exact_rows=10, n_rows=len(vecs)
+    )
+    # plan must be distributed DataFrame ops end-to-end: no driver-side
+    # broadcast-matrix kernel (the exact path's MapInPandas), no local
+    # relation built from collected rows, and the candidate self-join
+    # shuffles on the LSH key column
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" not in plan and "LocalTableScan" not in plan
+    assert "hashpartitioning(key" in plan
+
+    got = {(r["vec_id1"], r["vec_id2"]): r["cos_sim"] for r in out.collect()}
+    exact = {
+        (r["vec_id1"], r["vec_id2"]): r["cos_sim"]
+        for r in similarity.cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]          # re-rank is exact, not approximate
+    planted = {(i, i + 40) for i in range(20)} & set(exact)
+    assert planted, "test corpus should contain planted near-dup pairs"
+    recall = len(set(got) & planted) / len(planted)
+    assert recall >= 0.9, f"bucketed recall {recall}"
+
+
+def test_cosine_pairs_zero_norm_guard(spark):
+    """An all-zero embedding must yield cos 0 rows (never NaN) on both the
+    exact and bucketed paths."""
+    from libpostal_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    exact = similarity.cosine_pairs(df, threshold=0.5).collect()
+    assert {(r["vec_id1"], r["vec_id2"]) for r in exact} == {(1, 2)}
+    bucketed = similarity.cosine_pairs_bucketed(df, threshold=-1.0, dim=2).collect()
+    sims = {(r["vec_id1"], r["vec_id2"]): r["cos_sim"] for r in bucketed}
+    for pair, v in sims.items():
+        assert v == v, f"NaN cos_sim for {pair}"
+        if 0 in pair:
+            assert v == 0.0
