@@ -38,15 +38,44 @@ from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
     "stage string, config_hash string, input_fingerprint string, pt long, "
-    "rows long, wall_ms long, written_at string"
+    "n_pt long, rows long, wall_ms long, written_at string"
 )
 
 
 def input_fingerprint(files: DataFrame) -> str:
-    """Cheap order-independent fingerprint of an input table: row count +
-    xor-folded xxhash64 over every column. One scan; invalidates resume
-    state when the input changes (content included — a changed file with an
-    unchanged key must not be served stale)."""
+    """Order-independent fingerprint of an input table.
+
+    Fast path — FILE METADATA: when the frame is backed by concrete files
+    (``inputFiles`` non-empty), hash the sorted (path, length, mtime)
+    listing through the Hadoop FS layer. Zero data I/O, so a fully-resumed
+    run costs a namenode listing instead of an O(input) content scan — the
+    Iceberg analog is the snapshot id. Any rewrite (even byte-identical)
+    changes mtime and invalidates: recompute-on-doubt is the safe direction.
+
+    Fallback — CONTENT: frames with no file lineage (in-memory test data,
+    views) get the original one-scan xor-folded xxhash64 over every column,
+    content included — a changed file with an unchanged key must never be
+    served stale.
+    """
+    import hashlib
+
+    try:
+        paths = sorted(files.inputFiles())
+    except Exception:
+        paths = []
+    if paths:
+        spark = files.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        h = hashlib.sha256()
+        for p in paths:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(conf)
+            st = fs.getFileStatus(jpath)
+            h.update(
+                f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
+            )
+        return f"meta:{len(paths)}:{h.hexdigest()[:16]}"
     row = files.agg(
         F.count("*").alias("c"),
         F.coalesce(F.expr("bit_xor(xxhash64(*))"), F.lit(0)).alias("h"),
@@ -88,6 +117,7 @@ class CheckpointStore:
                     self.config_hash,
                     r.get("input_fingerprint"),
                     r.get("pt", -1),
+                    r.get("n_pt", -1),
                     r.get("rows"),
                     r.get("wall_ms"),
                     time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -100,10 +130,19 @@ class CheckpointStore:
             self._manifest_dir(rows[0]["stage"])
         )
 
-    def completed(self, stage: str, input_fingerprint: str | None) -> list[int]:
-        """pts with a manifest row matching this config + input."""
+    def completed(
+        self, stage: str, input_fingerprint: str | None, n_pt: int = -1
+    ) -> list[int]:
+        """pts with a manifest row matching this config + input + pt domain.
+
+        n_pt is part of the match: a committed partition from a run with a
+        different ``checkpoint_partitions`` lives in a different
+        ``pmod(fid, n)`` domain, and mixing domains would both duplicate and
+        drop rows — a mismatch reads as nothing-completed, which wipes and
+        recomputes exactly like a fingerprint change."""
         m = self._read_manifest(stage).filter(
-            F.col("config_hash") == self.config_hash
+            (F.col("config_hash") == self.config_hash)
+            & (F.coalesce(F.col("n_pt"), F.lit(-1)) == n_pt)
         )
         if input_fingerprint is not None:
             m = m.filter(F.col("input_fingerprint") == input_fingerprint)
@@ -114,15 +153,22 @@ class CheckpointStore:
 
     def _wipe(self, stage: str) -> None:
         """Remove a stage's data+manifest through the Hadoop FS layer (works
-        on HDFS/S3, not just the local filesystem)."""
+        on HDFS/S3, not just the local filesystem). Manifest goes FIRST so a
+        kill mid-wipe can only leave data-without-manifest (recomputed), not
+        manifest-without-matching-data (served stale)."""
+        self._wipe_manifest(stage)
+        self._rm(self._data_dir(stage))
+
+    def _wipe_manifest(self, stage: str) -> None:
+        self._rm(self._manifest_dir(stage))
+
+    def _rm(self, d: str) -> None:
         jvm = self.spark._jvm
-        jsc = self.spark._jsc
-        conf = jsc.hadoopConfiguration()
-        for d in (self._data_dir(stage), self._manifest_dir(stage)):
-            path = jvm.org.apache.hadoop.fs.Path(d)
-            fs = path.getFileSystem(conf)
-            if fs.exists(path):
-                fs.delete(path, True)
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
 
     # ------------------------------------------------------ whole stages
     def stage(
@@ -144,13 +190,16 @@ class CheckpointStore:
         t0 = time.time()
         df = fn()
         out_dir = self._data_dir(name)
+        # WIPE the old manifest BEFORE touching the data dir: a kill between
+        # the data overwrite and the manifest write must leave no manifest at
+        # all (next run recomputes), never the previous run's manifest paired
+        # with this run's data — that pairing would let a later run with the
+        # OLD input resume and silently serve the NEW dataset's rows
+        self._wipe_manifest(name)
         df.write.mode("overwrite").parquet(out_dir)
         out = self.spark.read.parquet(out_dir)
         rows = out.count()
         wall_ms = int((time.time() - t0) * 1000)
-        # manifest is OVERWRITTEN: the data dir was fully replaced, so rows
-        # for an older input fingerprint would now describe data that no
-        # longer exists
         self._append_manifest(
             [dict(stage=name, input_fingerprint=input_fingerprint, pt=-1,
                   rows=rows, wall_ms=wall_ms)],
@@ -183,7 +232,7 @@ class CheckpointStore:
         """
         expr = pt_expr.format(n=n_pt)
         keyed = input_df.withColumn("pt", F.expr(expr))
-        done = set(self.completed(name, input_fingerprint))
+        done = set(self.completed(name, input_fingerprint, n_pt=n_pt))
         done.discard(-1)
         todo_pts = [p for p in range(n_pt) if p not in done]
         t0 = time.time()
@@ -222,7 +271,8 @@ class CheckpointStore:
                 self._append_manifest(
                     [
                         dict(stage=name, input_fingerprint=input_fingerprint,
-                             pt=int(p), rows=int(per_pt.get(p, 0)),
+                             pt=int(p), n_pt=int(n_pt),
+                             rows=int(per_pt.get(p, 0)),
                              wall_ms=g_ms // max(1, len(group)))
                         for p in group
                     ],

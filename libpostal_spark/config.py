@@ -55,6 +55,16 @@ class PipelineConfig:
     winnow_window: int = 96      # tokens per rolling fingerprint window
     winnow_select: int = 64      # winnowing selection window (over window hashes)
 
+    @property
+    def winnow_guarantee(self) -> int:
+        """The run length at which a shared selected fingerprint is
+        GUARANTEED (W + select - 1). This is also the verify accept bar:
+        shorter shared runs are only probabilistically winnow-visible, so
+        accepting them would make cluster membership depend on which
+        fingerprints winnowing happened to select — the bar keeps the
+        engine's edge rule deterministic and equal to the oracle's."""
+        return self.winnow_window + self.winnow_select - 1
+
     # --- skew handling (boilerplate adversary, FIXTURES.md §2.9) ---
     max_bucket_size: int = 64        # buckets larger than this pair via salting
     max_salted_bucket: int = 1_000_000  # beyond this, star+rep-clique only (O(n));

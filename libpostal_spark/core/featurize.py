@@ -194,15 +194,26 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
         orders.append(order)
         sorteds.append(arr[order])
 
+    target = cfg.winnow_guarantee
+
     def run_len(i1: int, i2: int) -> int:
+        """MAX verified common-run length (early-exit once >= the accept
+        bar). A pair can carry several distinct runs — e.g. a 120-token and
+        a 200-token clone — and the confirm rule needs the maximum, not the
+        run around whichever window hash sorts first. Verified spans are
+        tracked so co-run window matches aren't re-extended."""
         sa, sb = sorteds[i1], sorteds[i2]
         if len(sa) == 0 or len(sb) == 0:
             return 0
         inter, ia, ib = np.intersect1d(sa, sb, return_indices=True)
         a, b = toks[i1], toks[i2]
+        best = 0
+        covered: list[tuple[int, int]] = []    # verified spans in a-coords
         for m in range(len(inter)):
             pa = int(orders[i1][ia[m]])
             pb = int(orders[i2][ib[m]])
+            if any(s <= pa < e for s, e in covered):
+                continue                       # inside an already-measured run
             if a[pa : pa + W] != b[pb : pb + W]:
                 continue                       # hash collision: reject, try next
             lo = 0
@@ -211,8 +222,11 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
             hi = W
             while pa + hi < len(a) and pb + hi < len(b) and a[pa + hi] == b[pb + hi]:
                 hi += 1
-            return lo + hi
-        return 0
+            covered.append((pa - lo, pa + hi))
+            best = max(best, lo + hi)
+            if best >= target:
+                break                          # decision-sufficient
+        return best
 
     i1s, i2s = inv[:n], inv[n:]
     cache: dict[tuple[int, int], int] = {}

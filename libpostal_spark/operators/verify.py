@@ -12,10 +12,15 @@ JVM-side part (``arrays_overlap`` on the stored fingerprints).
 A pair is confirmed when either:
   * jaccard >= cfg.jaccard_threshold (near-duplicate whole files), or
   * the two files share a winnow fingerprint AND a token-for-token VERIFIED
-    common run of >= winnow_window tokens (rolling-window match + exact
-    verify + extension) — the long-clone rule that Jaccard alone cannot
-    express (a 200-token block inside two otherwise-different files),
-    measured rather than hash-trusted.
+    common run of >= winnow_guarantee tokens (W + select - 1 = 159 at the
+    defaults; rolling-window match + exact verify + extension) — the
+    long-clone rule that Jaccard alone cannot express (a 200-token block
+    inside two otherwise-different files), measured rather than
+    hash-trusted. The bar sits at the GUARANTEE window, not the raw W:
+    runs in [W, W+select-1) are only probabilistically winnow-visible, so
+    accepting them would make edges depend on which fingerprints winnowing
+    selected — at the guarantee bar the edge rule is deterministic and
+    coincides with the exhaustive oracle's shared-run rule.
 
 Exact pairs (same sha256) never reach this stage — the short-circuit the
 reference applies before expensive similarity (/root/reference/src/soft_tfidf.c:336-341).
@@ -73,7 +78,7 @@ def verified_pairs(
     )
     confirmed = graded.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
-        | (F.col("lcs_tokens") >= F.lit(cfg.winnow_window))
+        | (F.col("lcs_tokens") >= F.lit(cfg.winnow_guarantee))
     )
     return confirmed.select(
         "fid1", "fid2", "jaccard", "source", "sources", "lcs_tokens",

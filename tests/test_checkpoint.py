@@ -193,7 +193,7 @@ def test_mid_stage_kill_recovers_committed_groups(spark, tmp_path):
         store1.partitioned_stage(
             "sigs", input_df, dying_fn, "fpK", n_pt=n_pt, pts_per_commit=4
         )
-    committed = set(store1.completed("sigs", "fpK"))
+    committed = set(store1.completed("sigs", "fpK", n_pt=n_pt))
     assert len(committed) == 4               # exactly the first group
 
     def good_fn(sub):
@@ -216,3 +216,97 @@ def test_mid_stage_kill_recovers_committed_groups(spark, tmp_path):
     }
     assert set(seen) == uncommitted
     assert 0 < len(seen) < 200
+
+
+def test_stage_crash_between_data_and_manifest_never_serves_stale(
+    spark, small_pdf, tmp_path
+):
+    """stage() wipes the manifest BEFORE overwriting data, so a kill between
+    the two leaves data-without-manifest (recomputed next run) — never the
+    old input's manifest paired with new data (served stale)."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "order_ckpt")
+    df_a = spark.createDataFrame([(i, "A") for i in range(10)], "k long, tag string")
+    df_b = spark.createDataFrame([(i, "B") for i in range(10)], "k long, tag string")
+
+    store = CheckpointStore(spark, root, "cfgO")
+    store.stage("s", lambda: df_a, input_fingerprint="fpA")
+
+    # replay the FIXED crash window of a run with input B: manifest wiped,
+    # B's data written, killed before B's manifest lands
+    store._wipe_manifest("s")
+    df_b.write.mode("overwrite").parquet(store._data_dir("s"))
+
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return df_a
+
+    out = CheckpointStore(spark, root, "cfgO").stage(
+        "s", fn, input_fingerprint="fpA"
+    )
+    assert calls, "must recompute — no manifest row may survive the crash window"
+    assert {r["tag"] for r in out.collect()} == {"A"}
+
+
+def test_partitioned_stage_n_pt_change_recomputes(spark, tmp_path):
+    """Changing checkpoint_partitions between runs changes the pmod domain;
+    committed partitions from the old domain must not mix with the new one
+    (ADVICE r2): a mismatch reads as nothing-completed and recomputes."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "npt_ckpt")
+    input_df = spark.createDataFrame(
+        [(f"fid{i:03d}", i) for i in range(100)], "fid string, v long"
+    )
+
+    def fn(sub):
+        return sub.withColumn("out", F.col("v") * 2)
+
+    store1 = CheckpointStore(spark, root, "cfgN")
+    store1.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=4)
+    assert store1.metrics[-1]["computed_partitions"] == 4
+
+    store2 = CheckpointStore(spark, root, "cfgN")
+    out = store2.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=8)
+    assert store2.metrics[-1]["computed_partitions"] == 8  # full recompute
+    got = sorted((r["fid"], r["out"]) for r in out.collect())
+    assert len(got) == 100                                  # no dups, no drops
+    assert got == sorted((f"fid{i:03d}", 2 * i) for i in range(100))
+
+    # same n_pt again resumes cleanly
+    store3 = CheckpointStore(spark, root, "cfgN")
+    store3.partitioned_stage("sigs", input_df, fn, "fpA", n_pt=8)
+    assert store3.metrics[-1]["resumed"] is True
+
+
+def test_input_fingerprint_metadata_fast_path(spark, tmp_path):
+    """File-backed frames fingerprint from the (path, size, mtime) listing —
+    no content scan; stable across reloads, changed by a rewrite."""
+    import time as _t
+
+    from libpostal_spark.checkpoint import input_fingerprint
+
+    p = str(tmp_path / "t.parquet")
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    df.write.mode("overwrite").parquet(p)
+
+    fp1 = input_fingerprint(spark.read.parquet(p))
+    fp2 = input_fingerprint(spark.read.parquet(p))
+    assert fp1 == fp2
+    assert fp1.startswith("meta:")
+
+    _t.sleep(1.1)  # mtime granularity
+    df.write.mode("overwrite").parquet(p)
+    fp3 = input_fingerprint(spark.read.parquet(p))
+    assert fp3 != fp1
+
+    # frames without file lineage fall back to the content scan
+    mem = spark.createDataFrame([(1,)], "v long")
+    assert not input_fingerprint(mem).startswith("meta:")

@@ -67,3 +67,49 @@ def test_short_shared_run_not_confirmed(spark):
     rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
     got = _run_confirm(spark, rows, cfg)
     assert got == []
+
+
+def test_sub_guarantee_run_not_confirmed(spark):
+    """ADVICE r2 pin: a shared run in [W, W+select-1) — here ~120 tokens —
+    must NOT confirm, even when winnowing happens to select a fingerprint
+    inside it. The accept bar is the GUARANTEE window (159 at defaults), the
+    oracle's edge rule; anything shorter would make cluster membership
+    depend on winnowing's selection randomness."""
+    cfg = PipelineConfig()
+    run = " ".join(f"shared{i}" for i in range(120))   # W=96 <= 120 < 159
+    a = " ".join(f"alpha{i}" for i in range(400)) + " " + run
+    b = run + " " + " ".join(f"beta{i}" for i in range(400))
+    rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
+    got = _run_confirm(spark, rows, cfg)
+    assert got == []
+
+
+def test_guarantee_run_confirmed_with_exact_length(spark):
+    """A shared run at exactly the guarantee window confirms, and the
+    reported lcs_tokens is the full measured run length."""
+    cfg = PipelineConfig()
+    n = cfg.winnow_guarantee                            # 159 at defaults
+    run = " ".join(f"shared{i}" for i in range(n))
+    a = " ".join(f"alpha{i}" for i in range(400)) + " " + run
+    b = run + " " + " ".join(f"beta{i}" for i in range(400))
+    rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
+    got = _run_confirm(spark, rows, cfg)
+    assert len(got) == 1
+    assert got[0]["lcs_tokens"] == n
+    assert got[0]["status"] == verify.STATUS_NEEDS_REVIEW
+
+
+def test_max_run_reported_not_first(spark):
+    """Two distinct shared runs (one sub-bar, one super-bar): the confirm
+    must measure the MAXIMUM run, whatever order the window hashes sort in."""
+    cfg = PipelineConfig()
+    short = " ".join(f"s{i}" for i in range(120))
+    long = " ".join(f"l{i}" for i in range(200))
+    mid_a = " ".join(f"alpha{i}" for i in range(150))
+    mid_b = " ".join(f"beta{i}" for i in range(150))
+    a = short + " " + mid_a + " " + long
+    b = long + " " + mid_b + " " + short
+    rows = [("r1", "a", "c", "python", a), ("r2", "b", "c", "python", b)]
+    got = _run_confirm(spark, rows, cfg)
+    assert len(got) == 1
+    assert got[0]["lcs_tokens"] >= 200
