@@ -202,14 +202,60 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+_SIG_SHA_CACHE: dict = {}
+
+
+def _cfg_sha():
+    import dataclasses
+
+    return dataclasses.replace(_CFG, hash_mode="sha256")
+
+
+def _sigs_sha(spark, sf_dir):
+    """Signatures in the oracle-replayable sha256 token-hash mode — same
+    machinery as _sigs (rolling hashes, minhash perms, simhash, bands,
+    winnow), only the unique-token base hash differs, which is what lets
+    DuckDB rebuild every value (libpostal_spark.sqltwin)."""
+    from libpostal_spark.operators import blocking
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _SIG_SHA_CACHE:
+        files = dedup.docs_as_files(_docs(spark, sf_dir))
+        sigs = blocking.signatures(files, _cfg_sha(), emit_minhash=True).persist()
+        sigs.count()
+        _SIG_SHA_CACHE[key] = sigs
+    return _SIG_SHA_CACHE[key]
+
+
 def _q_signatures(spark, sf_dir):
-    sigs = _sigs(spark, sf_dir)
+    """Long-form MinHash signature table: one row per (doc, permutation),
+    value-exact against the DuckDB HUGEINT mod-2^64 replay."""
+    sigs = _sigs_sha(spark, sf_dir)
     return sigs.select(
         F.col("path").cast("long").alias("doc_id"),
-        "n_tokens",
-        "n_shingles",
+        F.posexplode("minhash").alias("perm_i", "mh"),
+    )
+
+
+def _q_signature_summary(spark, sf_dir):
+    """The rest of the fixed-width signature surface as scalars: simhash,
+    xor-folded band hashes, winnow fingerprint count + xor — all replayed
+    value-exact by the SQL twin."""
+    sigs = _sigs_sha(spark, sf_dir)
+
+    def xor64(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        )
+
+    return sigs.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
         "simhash",
-        F.size("bands").alias("n_bands"),
+        xor64(F.col("bands")).alias("band_xor"),
+        F.size("winnow").cast("long").alias("n_winnow"),
+        xor64(F.col("winnow")).alias("winnow_xor"),
     )
 
 
@@ -344,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_signatures": _q_signatures,
+        "signature_summary": _q_signature_summary,
         "shingle_stats": _q_shingle_stats,
         "lsh_candidate_pairs": _q_lsh_candidates,
         "doc_near_dup_clusters": _q_doc_clusters,
@@ -691,6 +738,18 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _minhash_long_oracle() -> str:
+    from libpostal_spark import sqltwin
+
+    return sqltwin.minhash_long_sql(_canon_expr("text"), _cfg_sha())
+
+
+def _signature_summary_oracle() -> str:
+    from libpostal_spark import sqltwin
+
+    return sqltwin.signature_summary_sql(_canon_expr("text"), _cfg_sha())
+
+
 def oracle_sql() -> dict[str, str]:
     stopword = _stopword_ratio_sql()
     quality = (
@@ -786,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "code_dedup_clusters": _code_clusters_sql(),
+        "minhash_signatures": _minhash_long_oracle(),
+        "signature_summary": _signature_summary_oracle(),
         "shingle_stats": f"""
             WITH c AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -21,6 +21,13 @@ class PipelineConfig:
     # --- shingling (analog of near-dupe quadgrams, src/near_dupe.c:266-281) ---
     k_shingle: int = 5           # token k-grams over the canonical token stream
                                  # (rows shorter than k fall back to a whole-doc shingle)
+    # token-hash function: "blake2b" (production) or "sha256" — the
+    # oracle-REPLAYABLE mode: DuckDB can compute sha256 natively, so an
+    # external SQL twin can rebuild every downstream hash (rolling shingle
+    # hashes, MinHash permutations, SimHash, band keys) with HUGEINT
+    # mod-2^64 arithmetic. Identical machinery either way; only the 64-bit
+    # base hash of each unique token differs.
+    hash_mode: str = "blake2b"
 
     # --- MinHash / LSH (replaces near_dupe_hashes' hand-built key families) ---
     num_perm: int = 128          # signature length

@@ -34,7 +34,9 @@ class BatchFeatures:
     winnow: list                  # list of int64 np arrays (sorted distinct)
 
 
-def tokenize_flat(canon: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def tokenize_flat(
+    canon: pd.Series, seed: int, hash_mode: str = "blake2b"
+) -> tuple[np.ndarray, np.ndarray]:
     """canon strings → (flat token-hash uint64 array, per-row lengths)."""
     toks = canon.fillna("").str.split(" ")
     # empty string splits to [''] — normalize to []
@@ -45,13 +47,15 @@ def tokenize_flat(canon: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
     if len(exploded) == 0:
         return np.empty(0, dtype=np.uint64), lengths
     codes, uniques = pd.factorize(exploded.to_numpy(dtype=object))
-    uniq_hashes = H.hash_tokens_unique(np.asarray(uniques, dtype=object), seed)
+    uniq_hashes = H.hash_tokens_unique(
+        np.asarray(uniques, dtype=object), seed, hash_mode
+    )
     flat = uniq_hashes[codes]
     return flat, lengths
 
 
 def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
-    flat, lengths = tokenize_flat(canon, cfg.seed)
+    flat, lengths = tokenize_flat(canon, cfg.seed, cfg.hash_mode)
     sh_vals, sh_off = H.shingle_sets(flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc)
     sig = H.minhash_signatures(sh_vals, sh_off, cfg.num_perm, cfg.seed)
     bands = H.band_hashes(sig, cfg.bands, cfg.rows_per_band)
@@ -86,7 +90,7 @@ def pair_jaccard_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.
         return pd.Series([], dtype="float64")
     all_canon = pd.concat([c1, c2], ignore_index=True).fillna("")
     uniq, inv = np.unique(all_canon.to_numpy(dtype=object), return_inverse=True)
-    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed)
+    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed, cfg.hash_mode)
     vals, off = H.shingle_sets(flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc)
     sets = [vals[off[i] : off[i + 1]] for i in range(len(uniq))]
     out = np.empty(n, dtype=np.float64)
@@ -180,7 +184,7 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
         return pd.Series([], dtype="int32")
     all_canon = pd.concat([c1, c2], ignore_index=True).fillna("")
     uniq, inv = np.unique(all_canon.to_numpy(dtype=object), return_inverse=True)
-    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed)
+    flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed, cfg.hash_mode)
     wh, row = H.window_hashes(flat, lengths, W)
     bounds = np.searchsorted(row, np.arange(len(uniq) + 1))
     toks = [u.split(" ") if u else [] for u in uniq]

@@ -47,10 +47,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def hash_tokens_unique(uniques: np.ndarray, seed: int) -> np.ndarray:
-    """Stable 64-bit hash per unique token string (blake2b, seeded)."""
-    salt = seed.to_bytes(8, "little", signed=False)
+def hash_tokens_unique(
+    uniques: np.ndarray, seed: int, mode: str = "blake2b"
+) -> np.ndarray:
+    """Stable 64-bit hash per unique token string.
+
+    blake2b (default): seeded via salt, digest tail is uniform — production.
+    sha256: first 8 digest bytes big-endian of ``"{seed}:{token}"`` — the
+    oracle-replayable mode; DuckDB computes the identical value as
+    ``('0x' || substr(sha256(concat('{seed}:', tok)), 1, 16))::UBIGINT``.
+    """
     out = np.empty(len(uniques), dtype=U64)
+    if mode == "sha256":
+        prefix = f"{seed}:".encode()
+        for i, tok in enumerate(uniques):
+            h = hashlib.sha256(prefix + tok.encode("utf-8", "surrogatepass"))
+            out[i] = int.from_bytes(h.digest()[:8], "big")
+        return out
+    salt = seed.to_bytes(8, "little", signed=False)
     for i, tok in enumerate(uniques):
         h = hashlib.blake2b(tok.encode("utf-8", "surrogatepass"), digest_size=8, salt=salt)
         out[i] = int.from_bytes(h.digest(), "little")
