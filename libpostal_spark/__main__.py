@@ -25,7 +25,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="files table (parquet path or iceberg table)")
     p.add_argument("--output", required=True, help="clusters output (parquet path or iceberg table)")
     p.add_argument("--checkpoint", default=None, help="checkpoint root for resumable runs")
-    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "iceberg", "table"],
+        help="parquet: path in/out. iceberg: catalog tables via the Iceberg "
+        "runtime (requires the iceberg-spark-runtime jar on the cluster; "
+        "this sandbox ships none — tests/test_cli.py pins the exact "
+        "failure). table: session-catalog tables (read.table/saveAsTable) — "
+        "the same catalog surface, runnable on stock Spark.",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--k", type=int, default=5, dest="k_shingle")
     p.add_argument("--num-perm", type=int, default=128)
@@ -37,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="fold code abbreviations via the shipped expansion dictionary "
         "(libpostal_spark.dictionaries) before shingling",
+    )
+    p.add_argument(
+        "--transliterate",
+        action="store_true",
+        help="fold non-ASCII Latin identifiers to ASCII (CLDR Latin-ASCII "
+        "analog) before tokenization",
     )
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
@@ -53,11 +68,14 @@ def main(argv: list[str] | None = None) -> int:
         rows_per_band=args.rows_per_band,
         jaccard_threshold=args.jaccard_threshold,
         token_expansions=expansions,
+        transliterate=args.transliterate,
         seed=args.seed,
     )
     spark = get_spark(app_name="libpostal_spark_job", master=args.master)
     if args.format == "iceberg":
         files = spark.read.format("iceberg").load(args.input)
+    elif args.format == "table":
+        files = spark.read.table(args.input)
     else:
         files = spark.read.parquet(args.input)
 
@@ -65,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     res = pipe.run(files, collect_bucket_stats=True)
     if args.format == "iceberg":
         res.clusters.writeTo(args.output).createOrReplace()
+    elif args.format == "table":
+        res.clusters.write.mode("overwrite").saveAsTable(args.output)
     else:
         res.clusters.write.mode("overwrite").parquet(args.output)
 

@@ -28,6 +28,12 @@ class PipelineConfig:
     # mod-2^64 arithmetic. Identical machinery either way; only the 64-bit
     # base hash of each unique token differs.
     hash_mode: str = "blake2b"
+    # Latin-ASCII transliteration (NFD + strip combining marks + fold table;
+    # analog of the reference's CLDR Latin-ASCII transform,
+    # /root/reference/src/transliterate.c:669). Off by default: source-code
+    # identifiers are overwhelmingly ASCII and the fold costs a pass over
+    # non-ASCII rows only.
+    transliterate: bool = False
 
     # --- MinHash / LSH (replaces near_dupe_hashes' hand-built key families) ---
     num_perm: int = 128          # signature length

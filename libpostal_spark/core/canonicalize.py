@@ -55,6 +55,37 @@ def _nfkc(series: pd.Series) -> pd.Series:
     return series
 
 
+# Non-decomposable Latin letters the NFD+strip-marks pass cannot fold —
+# the hand-maintained tail of the public CLDR Latin-ASCII transform (the
+# analog of the reference's per-script transliterators,
+# /root/reference/src/transliterate.c:669). Accented letters (é, ü, ñ, …)
+# need no table entry: NFD decomposition + combining-mark strip covers them.
+_LATIN_FOLD = {
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H",
+    "ł": "l", "Ł": "L", "þ": "th", "Þ": "TH", "ð": "d", "Ð": "D",
+    "ŋ": "n", "Ŋ": "N", "ı": "i", "ĸ": "k", "ŧ": "t", "Ŧ": "T",
+}
+_FOLD_TRANS = str.maketrans(_LATIN_FOLD)
+
+
+def latin_ascii_fold_one(s: str) -> str:
+    """Latin-ASCII transliteration of one string: NFD-decompose, strip
+    combining marks, fold the non-decomposable Latin letters."""
+    d = unicodedata.normalize("NFD", s)
+    d = "".join(ch for ch in d if not unicodedata.combining(ch))
+    return d.translate(_FOLD_TRANS)
+
+
+def _latin_ascii(series: pd.Series) -> pd.Series:
+    """Vectorized Latin-ASCII fold (non-ASCII rows only; ASCII fast path)."""
+    non_ascii = ~series.map(str.isascii)
+    if non_ascii.any():
+        series = series.copy()
+        series[non_ascii] = series[non_ascii].map(latin_ascii_fold_one)
+    return series
+
+
 _RE_NUMBER = re.compile(r"^\d+(?:\.\d+)?$")
 
 
@@ -63,6 +94,7 @@ def canonicalize_batch(
     lang: pd.Series | None = None,
     expansions: dict[str, str] | None = None,
     fold_numbers: bool = False,
+    transliterate: bool = False,
 ) -> pd.Series:
     """Vectorized canonicalizer: pd.Series[str] → pd.Series[str] (canon form).
 
@@ -81,6 +113,10 @@ def canonicalize_batch(
     """
     s = content.fillna("").astype(str)
     s = _nfkc(s)
+    if transliterate:
+        # Latin-ASCII fold BEFORE case splitting so folded uppercase letters
+        # ("ÜberCount" → "UberCount") still participate in camel boundaries
+        s = _latin_ascii(s)
     s = s.str.replace(_RE_BLOCK_COMMENT, " ", regex=True)
     s = s.str.replace(_RE_LINE_COMMENT, " ", regex=True)
     s = s.str.replace(_RE_CAMEL_2, r"\1 \2", regex=True)

@@ -45,7 +45,9 @@ def feature_schema(emit_minhash: bool = False) -> T.StructType:
 
 
 def make_canonicalize_udf(
-    expansions: dict[str, str] | None = None, fold_numbers: bool = False
+    expansions: dict[str, str] | None = None,
+    fold_numbers: bool = False,
+    transliterate: bool = False,
 ):
     """content:string -> canon:string (vectorized; analog of
     expand_address_root, /root/reference/src/expand.c:1653-1655). Pass an
@@ -57,7 +59,10 @@ def make_canonicalize_udf(
     def canonicalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for content in it:
             yield canonicalize_batch(
-                content, expansions=expansions, fold_numbers=fold_numbers
+                content,
+                expansions=expansions,
+                fold_numbers=fold_numbers,
+                transliterate=transliterate,
             )
 
     return canonicalize_udf
@@ -84,7 +89,10 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
         for content in it:
             _t0 = _time.time()
             canon = canonicalize_batch(
-                content, expansions=expansions, fold_numbers=cfg.fold_numbers
+                content,
+                expansions=expansions,
+                fold_numbers=cfg.fold_numbers,
+                transliterate=cfg.transliterate,
             )
             f = featurize(canon, cfg)
             out = {

@@ -74,3 +74,31 @@ def test_fold_numbers():
     assert a == b == "x = 0 + 0"
     # default keeps literals distinct
     assert canonicalize_one("x = 31") != canonicalize_one("x = 7")
+
+
+def test_latin_ascii_transliteration_goldens():
+    """Golden expectations in the style of the reference's expand goldens
+    (/root/reference/test/test_expand.c:126-333), for non-ASCII Latin
+    identifiers under transliterate=True."""
+    cases = [
+        ("café_Señor = 1", "cafe senor = 1"),
+        ("naïveFunc()", "naive func ( )"),
+        ("Größe + straße", "grosse + strasse"),
+        ("œuvreCount", "oeuvre count"),
+        ("ÜberCount = phở", "uber count = pho"),
+        ("Łukasz_Øre", "lukasz ore"),
+        ("Þing_ðata", "t hing data"),          # þ→TH: "THing" camel-splits T|Hing
+        ("plain_ascii stays", "plain ascii stays"),
+    ]
+    for src, want in cases:
+        got = canonicalize_one(src, transliterate=True)
+        assert got == want, f"{src!r}: {got!r} != {want!r}"
+
+
+def test_transliteration_merges_accent_variants():
+    """The point of the fold: accented and plain spellings of the same
+    identifier must canonicalize identically (dup detection across them)."""
+    assert canonicalize_one("getConfigValue", transliterate=True) == \
+        canonicalize_one("gétConfigValué", transliterate=True)
+    # and the default (off) keeps them distinct
+    assert canonicalize_one("getConfigValue") != canonicalize_one("gétConfigValué")
