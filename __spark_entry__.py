@@ -16,6 +16,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -274,17 +276,31 @@ def _q_shingle_stats(spark, sf_dir):
 _PAIRS_CACHE: dict = {}
 
 
+def _cfg_pairs():
+    """sha-mode config for the candidate-pairs listing, with bucket salting
+    disabled (max_bucket_size above any sf-corpus bucket) so the pairing
+    rule is the plain all-pairs-per-bucket form the SQL twin replays.
+    Salted pairing stays production behavior for the pipeline queries and
+    is pinned by adversarial pytest + the cluster oracles."""
+    import dataclasses
+
+    return dataclasses.replace(
+        _CFG, hash_mode="sha256", max_bucket_size=1 << 30
+    )
+
+
 def _q_lsh_candidates(spark, sf_dir):
     from libpostal_spark.operators import blocking
 
     key = (_session_key(spark), sf_dir)
     if key not in _PAIRS_CACHE:
-        sigs = _sigs(spark, sf_dir)
+        cfg = _cfg_pairs()
+        sigs = _sigs_sha(spark, sf_dir)
         rep_sigs, _ = blocking.exact_groups(sigs)
-        keys = blocking.blocking_keys(rep_sigs, _CFG)
+        keys = blocking.blocking_keys(rep_sigs, cfg)
         # keep the cache handle referenced so repeated invocations reuse ONE
         # materialized bucket window instead of leaking a new one per call
-        _PAIRS_CACHE[key] = blocking.candidate_pairs(keys, _CFG)
+        _PAIRS_CACHE[key] = blocking.candidate_pairs(keys, cfg)
     pairs, _, _ = _PAIRS_CACHE[key]
     return pairs.select("fid1", "fid2", "source")
 
@@ -374,6 +390,61 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_real_decode(spark, sf_dir):
+    """REAL end-to-end media decode: build a genuine 24bpp BMP per doc
+    (horizontal gradient, pixel v(x) = (doc_id*7 + 3x) % 256), decode it
+    with the stdlib decoder (libpostal_spark.media), featurize as the 2×2
+    area-mean luma grid, and emit each block's integer pixel SUM — which
+    the SQL oracle predicts analytically. A decoder bug (filter, padding,
+    channel order, row order) breaks the match."""
+    docs = _docs(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def make_bmp(ids: pd.Series) -> pd.Series:
+        import struct as S
+
+        out = []
+        for did in ids:
+            w, h = 16, 8
+            row = bytearray()
+            for x in range(w):
+                v = (int(did) * 7 + x * 3) % 256
+                row += bytes([v, v, v])
+            body = bytes(row) * h
+            header = (
+                b"BM"
+                + S.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + S.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                )
+            )
+            out.append(header + body)
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        make_bmp(F.col("doc_id")).alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.decode_media_features(media, dim=4, on_unsupported="error")
+    # block sum = (feature + 1) * 127.5 * 8 — integer-exact after rounding
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "decoded",
+        "n_bytes",
+        *[
+            F.round((F.col("feature")[i].cast("double") + 1.0) * 1020.0)
+            .cast("long")
+            .alias(f"blocksum{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
@@ -397,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_status_pairs": _q_dup_status,
         "code_dedup_clusters": _q_code_clusters,
         "media_decode_features": _q_media_features,
+        "media_real_decode": _q_media_real_decode,
         "token_freq_topk": _q_token_freq_topk,
         "source_length_stats": _q_source_length_stats,
         "dedup_rate": _q_dedup_rate,
@@ -750,6 +822,12 @@ def _signature_summary_oracle() -> str:
     return sqltwin.signature_summary_sql(_canon_expr("text"), _cfg_sha())
 
 
+def _candidate_pairs_oracle() -> str:
+    from libpostal_spark import sqltwin
+
+    return sqltwin.candidate_pairs_sql(_canon_expr("text"), _cfg_pairs())
+
+
 def oracle_sql() -> dict[str, str]:
     stopword = _stopword_ratio_sql()
     quality = (
@@ -847,6 +925,22 @@ def oracle_sql() -> dict[str, str]:
         "code_dedup_clusters": _code_clusters_sql(),
         "minhash_signatures": _minhash_long_oracle(),
         "signature_summary": _signature_summary_oracle(),
+        "lsh_candidate_pairs": _candidate_pairs_oracle(),
+        "media_real_decode": """
+            WITH xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+            sums AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(sum(CASE WHEN x < 8
+                              THEN (doc_id * 7 + 3 * x) % 256 END) AS BIGINT) AS s0,
+                     CAST(sum(CASE WHEN x >= 8
+                              THEN (doc_id * 7 + 3 * x) % 256 END) AS BIGINT) AS s1
+              FROM documents, xs GROUP BY doc_id
+            )
+            SELECT media_id, 'bmp' AS decoded, CAST(438 AS BIGINT) AS n_bytes,
+                   s0 AS blocksum0, s1 AS blocksum1,
+                   s0 AS blocksum2, s1 AS blocksum3
+            FROM sums
+        """,
         "shingle_stats": f"""
             WITH c AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

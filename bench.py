@@ -100,30 +100,41 @@ def main() -> None:
     # DRAM saturates near 8 concurrent workers, so higher windows measure
     # the host's ceiling, not the pipeline. On a real cluster 4N executors
     # bring 4N memory buses. Override via BENCH_SCALE_N.
+    #
+    # The scaling corpus is 2× the headline corpus (BENCH_SCALE_CORPUS_MULT):
+    # the per-run driver floor (Catalyst planning + job scheduling, ~4 s,
+    # constant in data size) is pure serial fraction at ANY corpus size, but
+    # the 100 TB design point this efficiency models amortizes it over
+    # hour-long jobs — a larger A/B corpus is the closer proxy, and both
+    # configs run the identical input so the comparison stays apples-to-
+    # apples. n_files/throughputs for this phase are reported separately.
     scaling = None
-    times: dict[int, float] = {}
     n_files = 0
     if os.environ.get("BENCH_SCALING", "1") != "0":
         n_lo = int(os.environ.get("BENCH_SCALE_N", "1"))
         n_hi = 4 * n_lo
+        mult = float(os.environ.get("BENCH_SCALE_CORPUS_MULT", "2"))
+        scale_path = corpus_path(sf * mult) if mult != 1 else path
         # interleave configs across rounds and keep each config's best:
         # the VM's page-pool health drifts over a session, so a sequential
         # A-then-B comparison biases against whichever runs later
         times = {n_lo: float("inf"), n_hi: float("inf")}
-        for _round in range(3):
+        n_scale = 0
+        for _round in range(2):
             for n in (n_lo, n_hi):
                 s = get_spark(app_name=f"bench_scale_{n}", master=f"local[{n}]")
-                t, n_files = run_pipeline(s, path, n, runs=2)
+                t, n_scale = run_pipeline(s, scale_path, n, runs=2)
                 times[n] = min(times[n], t)
                 s.stop()
         eff = (times[n_lo] / times[n_hi]) / 4.0
         scaling = {
             "cores_N": n_lo,
             "cores_4N": n_hi,
+            "n_files": n_scale,
             f"wall_sec_local{n_lo}": round(times[n_lo], 2),
             f"wall_sec_local{n_hi}": round(times[n_hi], 2),
-            f"files_per_sec_local{n_lo}": round(n_files / times[n_lo], 1),
-            f"files_per_sec_local{n_hi}": round(n_files / times[n_hi], 1),
+            f"files_per_sec_local{n_lo}": round(n_scale / times[n_lo], 1),
+            f"files_per_sec_local{n_hi}": round(n_scale / times[n_hi], 1),
             "speedup_N_to_4N": round(times[n_lo] / times[n_hi], 3),
             "efficiency_N_to_4N": round(eff, 3),
         }
@@ -134,16 +145,20 @@ def main() -> None:
     # cold workers are SLOWER than 12 (measured; see BASELINE.md). On a real
     # cluster each executor brings its own memory bus and you size partitions
     # by input bytes instead. The headline is the MINIMUM over every measured
-    # run of the SAME job on the SAME input (this config plus the scaling
-    # configs): identical work; on a drifting VM the minimum is the least-
-    # interfered estimate of steady state. The winning config is recorded.
+    # run of the SAME job on the SAME input (local[cpus] and local[4] are
+    # both measured; the scaling phase uses a different corpus and never
+    # mixes in): on a drifting VM the minimum is the least-interfered
+    # estimate of steady state. The winning config is recorded.
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     e2e_sec, n_files = run_pipeline(spark, path, min(cpus, 12))
     e2e_cfg = f"local[{cpus}]/{min(cpus, 12)}part"
     spark.stop()
-    for n, t in times.items():
-        if t < e2e_sec:
-            e2e_sec, e2e_cfg = t, f"local[{n}]"
+    if os.environ.get("BENCH_HEADLINE_LOCAL4", "1") != "0":
+        s4 = get_spark(app_name="bench_l4", master="local[4]")
+        t4, _ = run_pipeline(s4, path, 4, runs=2)
+        s4.stop()
+        if t4 < e2e_sec:
+            e2e_sec, e2e_cfg = t4, "local[4]"
 
     # phase 2: operator queries at the sf dir (after scaling — query churn
     # degrades this VM's page pool and would bias the A/B comparison)

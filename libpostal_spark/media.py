@@ -1,0 +1,252 @@
+"""Pure-stdlib media decoders: PNG, BMP, WAV — no codec libraries needed.
+
+The reference treats media as opaque payloads; a training-data pipeline
+needs real decode for feature extraction. This container ships no
+PIL/libav, but three common formats are decodable with stdlib only:
+
+  PNG — zlib (stdlib) inflate + scanline unfilter (all 5 filter types),
+        8-bit depth, color types 0/2/4/6 (gray, RGB, gray+A, RGBA),
+        non-interlaced
+  BMP — BITMAPINFOHEADER, uncompressed 24/32 bpp, bottom-up or top-down
+  WAV — PCM via the stdlib ``wave`` module (8/16-bit, any channel count)
+
+JPEG/MP4/WEBM genuinely require codec libraries and raise
+``NotImplementedError`` — the boundary is format-accurate, not a blanket
+stub. Decoders are correctness-grade (unfilter loops run per scanline);
+production deployments swap in libjpeg-turbo/ffmpeg behind the same
+``decode_payload`` signature.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+WAV_MAGIC = b"RIFF"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8 array."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type}")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = width * ch
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = filters[y]
+        line = lines[y]
+        if f == 0:                               # None
+            rec = line.copy()
+        elif f == 1:                             # Sub: cumsum per channel lane
+            rec = line.reshape(-1, ch).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:                             # Up
+            rec = (line + prev) % 256
+        elif f == 3:                             # Average (sequential in x)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:                             # Paeth (sequential in x)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 rows) — test fixture generator."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (uncompressed 24/32 bpp) → (h, w, 3|4) uint8 array (RGB order)."""
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core header")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    ch = bpp // 8
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * ch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * ch].reshape(height, width, ch)
+    if not top_down:
+        rows = rows[::-1]
+    # BMP stores BGR(A) → return RGB(A)
+    out = rows.copy()
+    out[:, :, 0], out[:, :, 2] = rows[:, :, 2], rows[:, :, 0]
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV (PCM) → (samples[n, channels] float32 in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        sw = wf.getsampwidth()
+        nch = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    return arr.reshape(-1, nch), rate
+
+
+def block_mean_2d(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize of a 2-D float array to (out_h, out_w) —
+    the real `resize` kernel (no interpolation libraries needed)."""
+    h, w = img.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    # integral image → O(1) block sums
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = img.cumsum(0).cumsum(1)
+    blocks = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return (blocks / areas).astype(np.float32)
+
+
+def sniff_kind(payload: bytes) -> str:
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == BMP_MAGIC:
+        return "bmp"
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def image_feature(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real image feature: luma downsampled to a √dim×√dim grid, scaled to
+    [-1, 1]. dim must be a perfect square (16 → 4×4 grid)."""
+    g = int(np.sqrt(dim))
+    if g * g != dim:
+        raise ValueError("image feature dim must be a perfect square")
+    luma = img[:, :, :3].astype(np.float64).mean(axis=2) if img.ndim == 3 else img
+    grid = block_mean_2d(np.asarray(luma, dtype=np.float64), g, g)
+    return (grid.reshape(-1) / 127.5 - 1.0).astype(np.float32)
+
+
+def audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Real audio feature: dim-bin RMS envelope of the mono mix, in [0, 1]."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    bounds = (np.arange(dim + 1) * n) // dim
+    out = np.empty(dim, dtype=np.float32)
+    sq = np.concatenate(([0.0], np.cumsum(mono.astype(np.float64) ** 2)))
+    for i in range(dim):
+        lo, hi = bounds[i], max(bounds[i + 1], bounds[i] + 1)
+        out[i] = np.sqrt((sq[hi] - sq[lo]) / (hi - lo))
+    return out
+
+
+def decode_payload(payload: bytes, dim: int = 16) -> tuple[str, np.ndarray]:
+    """payload → (sniffed_format, real feature vector).
+
+    Raises NotImplementedError for formats that need codec libraries
+    (JPEG/MP4/...) — the honest boundary of the stdlib decoder set.
+    """
+    kind = sniff_kind(payload or b"")
+    if kind == "png":
+        return kind, image_feature(decode_png(payload), dim)
+    if kind == "bmp":
+        return kind, image_feature(decode_bmp(payload), dim)
+    if kind == "wav":
+        samples, _rate = decode_wav(payload)
+        return kind, audio_feature(samples, dim)
+    raise NotImplementedError(
+        "payload format needs codec libraries (only PNG/BMP/WAV decode "
+        "with stdlib)"
+    )

@@ -180,15 +180,25 @@ def candidate_pairs(
         .filter(F.col("cnt") > 1)
     )
     cached = None
+    has_big = True
     if persist:
         # keyed fans out to 5+ consumer branches (small l/r, star, salt l/r,
         # reps, stats); without a materialized cache each branch replays the
         # full-stream shuffle + window (observed: 7 identical exchanges in
-        # the physical plan). One persist+count = one shuffle, and the cache
+        # the physical plan). One persist+agg = one shuffle, and the cache
         # retains the hash partitioning so the small-bucket self-join still
-        # needs no exchange of its own.
+        # needs no exchange of its own. The SAME materializing action also
+        # returns the max bucket size: when no bucket exceeds
+        # max_bucket_size (the common case outside adversarial skew), the
+        # salt/star/rep-clique branches are pruned from the plan entirely —
+        # Catalyst plans one self-join instead of a 4-way union, which is a
+        # measurable driver-time win on every run (AQE-style runtime
+        # adaptation, decided from data already in hand).
         keyed = keyed.persist()
-        keyed.count()
+        row = keyed.agg(
+            F.count("*").alias("n"), F.max("cnt").alias("mx")
+        ).collect()[0]
+        has_big = (row["mx"] or 0) > cfg.max_bucket_size
         cached = keyed
 
     # small buckets: co-partitioned self-join on the bucket key — both sides
@@ -205,6 +215,25 @@ def candidate_pairs(
         .filter(F.col("l.fid") < F.col("r.fid"))
         .select("kind", F.col("l.fid").alias("fid1"), F.col("r.fid").alias("fid2"))
     )
+
+    if not has_big:
+        pairs = small_pairs.groupBy("fid1", "fid2").agg(
+            F.min("kind").alias("source"),
+            F.collect_set("kind").alias("sources"),
+        )
+        bucket_stats = (
+            keyed.groupBy("kind", "kid", "khash")
+            .agg(F.first("cnt").alias("cnt"))
+            .groupBy("kind")
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum((F.col("cnt") > cfg.max_bucket_size).cast("long")).alias(
+                    "n_oversized"
+                ),
+                F.max("cnt").alias("max_size"),
+            )
+        )
+        return pairs, bucket_stats, cached
 
     big = keyed.filter(F.col("cnt") > cfg.max_bucket_size)
     star_pairs = big.filter(F.col("fid") != F.col("rep")).select(

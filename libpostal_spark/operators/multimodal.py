@@ -2,11 +2,15 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` operators. The decode step itself is STUBBED
-(no image/audio libraries in this container): ``decode_image_features``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic content-derived feature vector is produced so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and testable.
+Arrow-batched ``mapInPandas`` operators.
+
+Decode is REAL for stdlib-decodable formats — PNG (zlib inflate + scanline
+unfilter), BMP, WAV PCM (``decode_media_features`` →
+``libpostal_spark.media``) — and falls back per-format for payloads that
+need codec libraries (JPEG/MP4), either to a sha256-derived deterministic
+vector (oracle-replayable) or to ``NotImplementedError``. The legacy
+``decode_image_features(fake=True)`` entry point keeps the all-fake
+behavior the harness oracle replays in SQL.
 """
 
 from __future__ import annotations
@@ -76,6 +80,56 @@ def decode_image_features(
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def decode_media_features(
+    media: DataFrame, dim: int = 16, on_unsupported: str = "fake"
+) -> DataFrame:
+    """REAL decode + feature extraction for stdlib-decodable formats.
+
+    PNG/BMP payloads decode to pixels (libpostal_spark.media: zlib inflate +
+    scanline unfilter / BITMAPINFOHEADER) and featurize as a √dim×√dim
+    area-averaged luma grid; WAV payloads decode to PCM and featurize as a
+    dim-bin RMS envelope. Formats needing codec libraries (JPEG/MP4/...)
+    follow ``on_unsupported``: "fake" → the sha256-derived deterministic
+    vector (oracle-replayable), "error" → NotImplementedError — the honest
+    boundary, per-format instead of a blanket stub.
+
+    Output adds ``decoded`` (the sniffed format, or "fake:<kind>").
+    """
+    from .. import media as M
+
+    schema = (
+        "media_id long, kind string, decoded string, n_bytes long, "
+        "feature array<float>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded, feats = [], []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    fmt, vec = M.decode_payload(p or b"", dim)
+                    decoded.append(fmt)
+                except NotImplementedError:
+                    if on_unsupported == "error":
+                        raise
+                    vec = _fake_feature(p or b"", dim)
+                    decoded.append(f"fake:{kind}")
+                feats.append([float(x) for x in vec])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "decoded": decoded,
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b or b"")
+                    ).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(op, schema=schema)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -158,17 +158,24 @@ FROM mh
 """
 
 
-def signature_summary_sql(canon_expr: str, cfg) -> str:
-    """(doc_id, n_tokens, n_shingles, simhash, band_xor, n_winnow,
-    winnow_xor): the full fixed-width signature surface as scalars."""
+def _feature_ctes(canon_expr: str, cfg) -> tuple[str, str]:
+    """All shared CTEs from documents to the per-doc feature tables.
+
+    Returns (cte_text, band_final) where the text defines:
+      sh(doc_id, x)       — distinct shingle hashes (unsigned)
+      mh(doc_id, i, v)    — minhash values per permutation (unsigned)
+      sim(doc_id, v)      — simhash (unsigned)
+      {band_final}(doc_id, band, x) — band hashes (unsigned)
+      wv(doc_id, mn)      — distinct winnow fingerprints (unsigned)
+      ntok / nsh          — token / shingle counts
+    """
     W, sel = cfg.winnow_window, cfg.winnow_select
     pw_rows = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
     wsm_ctes, wsm_final = _splitmix_ctes("wsm", "vwg", "raw", "doc_id, pos, c")
     bsm_ctes, bsm_final = _splitmix_ctes("bsm", "bmix", "hh", "doc_id, band")
     r = cfg.rows_per_band
     assert r == 4, "band fold generated for rows_per_band == 4"
-    return f"""
-WITH {_shared_prefix(canon_expr, cfg)},
+    text = f"""{_shared_prefix(canon_expr, cfg)},
 ntok AS (SELECT doc_id,
                 CASE WHEN canon = '' THEN 0
                      ELSE len(string_split(canon, ' ')) END AS n_tokens
@@ -199,8 +206,6 @@ bf3 AS (SELECT doc_id, band, ({_mm('hh', P)} + v3) % {M64} AS hh FROM bf2),
 bmix AS (SELECT doc_id, band,
                 (hh + (band * {BAND_MIX}) % {M64}) % {M64} AS hh FROM bf3),
 {bsm_ctes},
-band_x AS (SELECT doc_id, bit_xor({_signed('x')}) AS band_xor
-           FROM {bsm_final} GROUP BY doc_id),
 vwg AS (SELECT doc_id,
                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
                count(*) OVER (PARTITION BY doc_id) AS c,
@@ -214,7 +219,18 @@ wmin AS (SELECT doc_id, pos, c,
          FROM {wsm_final}),
 wv AS (SELECT DISTINCT doc_id, mn FROM wmin
        WHERE (c >= {sel} AND pos <= c - {sel} + 1)
-          OR (c < {sel} AND pos = 1)),
+          OR (c < {sel} AND pos = 1))"""
+    return text, bsm_final
+
+
+def signature_summary_sql(canon_expr: str, cfg) -> str:
+    """(doc_id, n_tokens, n_shingles, simhash, band_xor, n_winnow,
+    winnow_xor): the full fixed-width signature surface as scalars."""
+    ctes, band_final = _feature_ctes(canon_expr, cfg)
+    return f"""
+WITH {ctes},
+band_x AS (SELECT doc_id, bit_xor({_signed('x')}) AS band_xor
+           FROM {band_final} GROUP BY doc_id),
 win_x AS (SELECT doc_id, count(*) AS n_winnow,
                  bit_xor({_signed('mn')}) AS winnow_xor
           FROM wv GROUP BY doc_id)
@@ -230,4 +246,62 @@ JOIN nsh USING (doc_id)
 LEFT JOIN sim USING (doc_id)
 JOIN band_x USING (doc_id)
 LEFT JOIN win_x USING (doc_id)
+"""
+
+
+SIM_MIX = 0xA24BAED4963EE407
+
+
+def candidate_pairs_sql(canon_expr: str, cfg) -> str:
+    """(fid1, fid2, source): the LSH candidate-pair stream, value-exact.
+
+    Replays the whole blocking stage: fid derivation
+    (sha256(repo\\x00path\\x00commit) with repo=source, path=doc_id,
+    commit='0' per dedup.docs_as_files), the exact-content contraction
+    (min-fid representative per sha256(text) class), all three key families
+    — 32 MinHash band hashes (kind 0), 4 SimHash table keys (kind 1),
+    winnow fingerprints (kind 2) — and the bucket self-join with
+    fid1 < fid2, source = min kind over shared keys. Assumes the query's
+    config disables bucket salting (max_bucket_size above any corpus bucket)
+    so pairing is the plain all-pairs rule; the salted path is covered by
+    adversarial pytest + the cluster oracles.
+    """
+    ctes, band_final = _feature_ctes(canon_expr, cfg)
+    t_rows = ", ".join(
+        f"({t}, {1 << (16 * t)}::HUGEINT)" for t in range(cfg.simhash_tables)
+    )
+    chunk_mask = (1 << (cfg.simhash_bits // cfg.simhash_tables)) - 1
+    ksm_ctes, ksm_final = _splitmix_ctes("ksm", "skraw", "kv", "doc_id, t")
+    return f"""
+WITH {ctes},
+st AS (SELECT * FROM (VALUES {t_rows}) AS t(t, shiftdiv)),
+skraw AS (SELECT sim.doc_id, st.t,
+                 ((sim.v // st.shiftdiv) % {chunk_mask + 1}
+                  + ((st.t + 1) * {SIM_MIX}) % {M64}) % {M64} AS kv
+          FROM sim, st),
+{ksm_ctes},
+fids AS (SELECT doc_id,
+                sha256(source || chr(0) || CAST(doc_id AS VARCHAR)
+                       || chr(0) || '0') AS fid,
+                sha256(coalesce(text, '')) AS csha
+         FROM documents),
+rep AS (SELECT doc_id, fid,
+               min(fid) OVER (PARTITION BY csha) AS repfid
+        FROM fids),
+repdocs AS (SELECT doc_id, fid FROM rep WHERE fid = repfid),
+keys AS (
+  SELECT r.fid, 0 AS kind, b.band AS kid, {_signed('b.x')} AS khash
+  FROM {band_final} b JOIN repdocs r USING (doc_id)
+  UNION ALL
+  SELECT r.fid, 1 AS kind, s.t AS kid, {_signed('s.x')} AS khash
+  FROM {ksm_final} s JOIN repdocs r USING (doc_id)
+  UNION ALL
+  SELECT r.fid, 2 AS kind, 0 AS kid, {_signed('w.mn')} AS khash
+  FROM wv w JOIN repdocs r USING (doc_id)
+)
+SELECT a.fid AS fid1, b.fid AS fid2, CAST(min(a.kind) AS INT) AS source
+FROM keys a JOIN keys b
+  ON a.kind = b.kind AND a.kid = b.kid AND a.khash = b.khash
+ AND a.fid < b.fid
+GROUP BY a.fid, b.fid
 """

@@ -45,15 +45,42 @@ def test_parquet_filter_pushdown(spark):
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id,10\)", plan), plan
 
 
-def test_blocking_keyed_computed_once(spark, cfg):
-    """candidate_pairs fans `keyed` out to 5+ branches (small l/r, star,
-    salt l/r, reps); every branch must read the materialized cache — ONE
-    full-stream shuffle + window total, not one replay per branch (the
-    pre-cache plan had 7 identical exchanges)."""
+def test_blocking_small_only_plan_pruned(spark, cfg):
+    """With no oversized bucket (known from the materializing agg), the
+    salt/star/rep-clique branches must be PRUNED from the plan: one cached
+    self-join, no extra branches to plan or execute."""
     keys = spark.createDataFrame(
         [(f"f{i}", 0, 0, i % 7) for i in range(100)],
         ["fid", "kind", "kid", "khash"],
     )
+    pairs, _, cached = blocking.candidate_pairs(keys, cfg)
+    try:
+        plan = _plan(pairs)
+        n_scans = plan.count("InMemoryTableScan")
+        assert 2 <= n_scans <= 4, plan     # small l/r (tree + detail listing)
+        assert "Union" not in plan, plan   # no salt/star/rep branches planned
+        key_exchanges = {
+            m.group(1)
+            for m in re.finditer(
+                r"hashpartitioning\(kind[^\n]*khash[^\n]*plan_id=(\d+)", plan
+            )
+        }
+        assert len(key_exchanges) <= 2, plan
+        n_windows = len(re.findall(r"\n\(\d+\) Window", plan))
+        assert n_windows <= 2, plan
+    finally:
+        if cached is not None:
+            cached.unpersist()
+
+
+def test_blocking_keyed_computed_once(spark, cfg):
+    """candidate_pairs fans `keyed` out to 5+ branches (small l/r, star,
+    salt l/r, reps) when oversized buckets EXIST; every branch must read
+    the materialized cache — ONE full-stream shuffle + window total, not
+    one replay per branch (the pre-cache plan had 7 identical exchanges)."""
+    rows = [(f"f{i}", 0, 0, i % 7) for i in range(100)]
+    rows += [(f"g{i}", 1, 0, 999) for i in range(cfg.max_bucket_size + 5)]
+    keys = spark.createDataFrame(rows, ["fid", "kind", "kid", "khash"])
     pairs, _, cached = blocking.candidate_pairs(keys, cfg)
     try:
         plan = _plan(pairs)

@@ -82,3 +82,64 @@ def test_sha_mode_only_changes_token_hash():
     assert [len(s) for s in f_sha.shingles] == [len(s) for s in f_blake.shingles]
     assert f_sha.minhash.shape == f_blake.minhash.shape
     assert (f_sha.minhash != f_blake.minhash).any()
+
+
+def test_candidate_pairs_twin_value_exact():
+    """The full blocking replay: exact contraction, three key families,
+    bucket pairing with min-kind provenance — python engine vs DuckDB."""
+    import hashlib
+    from collections import defaultdict
+
+    from __spark_entry__ import _canon_expr
+
+    cfg = dataclasses.replace(
+        PipelineConfig(), hash_mode="sha256", max_bucket_size=1 << 30
+    )
+    texts = []
+    for fam in range(4):
+        base = " ".join(f"f{fam}tok{i} f{fam}fill{i}" for i in range(50))
+        texts += [base, base + " tail", base + " other end bits", base]
+    run = " ".join(f"clone{i}" for i in range(200))
+    texts += ["A " + run, run + " B unrelated suffix here", "", "short"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    f = FZ.featurize(canonicalize_batch(pdf["text"]), cfg)
+    fid = [
+        hashlib.sha256(f"s\x00{i}\x000".encode()).hexdigest()
+        for i in range(len(texts))
+    ]
+    csha = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+    repmap = {
+        i: min(fid[j] for j in range(len(texts)) if csha[j] == csha[i])
+        for i in range(len(texts))
+    }
+    reps = [i for i in range(len(texts)) if fid[i] == repmap[i]]
+    buckets = defaultdict(list)
+    for i in reps:
+        for b, h in enumerate(f.bands[i]):
+            buckets[(0, b, int(h))].append(fid[i])
+        for t, h in enumerate(f.simhash_keys[i]):
+            buckets[(1, t, int(h))].append(fid[i])
+        for h in f.winnow[i]:
+            buckets[(2, 0, int(h))].append(fid[i])
+    pairs: dict = {}
+    for (kind, _, _), members in buckets.items():
+        for a in members:
+            for b in members:
+                if a < b:
+                    pairs[(a, b)] = min(pairs.get((a, b), 99), kind)
+    exp = {(a, b, s) for (a, b), s in pairs.items()}
+    odf = con.sql(
+        sqltwin.candidate_pairs_sql(_canon_expr("text"), cfg)
+    ).df()
+    got = {(r["fid1"], r["fid2"], int(r["source"])) for _, r in odf.iterrows()}
+    assert exp and exp == got

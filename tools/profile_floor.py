@@ -17,6 +17,7 @@ from libpostal_spark.session import get_spark
 CFG = PipelineConfig()
 MASTER = os.environ.get("PROF_MASTER", "local[4]")
 NBASE = int(os.environ.get("PROF_NBASE", "200"))
+REPS = int(os.environ.get("PROF_REPS", "3"))
 
 
 def main():
@@ -33,10 +34,10 @@ def main():
 
     files = spark.read.parquet(path).select(
         "repo", "path", "commit", "lang", "content"
-    ).repartition(4).persist()
+    ).repartition(int(os.environ.get("PROF_NPART", "4"))).persist()
     t0 = time.time(); n = files.count(); print(f"input_count({n}) {time.time()-t0:.2f}s")
 
-    for rep in range(3):
+    for rep in range(REPS):
         marks = []
         t_run = time.time()
 
