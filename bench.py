@@ -149,6 +149,12 @@ def main() -> None:
     # both measured; the scaling phase uses a different corpus and never
     # mixes in): on a drifting VM the minimum is the least-interfered
     # estimate of steady state. The winning config is recorded.
+    if os.environ.get("BENCH_SKIP_HEADLINE") == "1":   # local iteration only
+        out = {"metric": "scaling_only", "sf": sf}
+        if scaling:
+            out["scaling"] = scaling
+        print(json.dumps(out))
+        return
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     e2e_sec, n_files = run_pipeline(spark, path, min(cpus, 12))
     e2e_cfg = f"local[{cpus}]/{min(cpus, 12)}part"

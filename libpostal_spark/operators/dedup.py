@@ -151,6 +151,59 @@ def dup_status_pairs_with_ledger(
     near = res.confirmed.filter(
         F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
     ).select("fid1", "fid2", "jaccard", "status")
+
+    # adaptive plan pruning: one cheap agg over the (cached) signatures
+    # tells us the largest sha256 class; if even the WORST pairing that
+    # class could produce fits the cap, the whole cap machinery — class-size
+    # joins, capped/star branches, ledger — is pruned from the plan and the
+    # simple full-expansion shape is built instead (Catalyst time + runtime)
+    mx = members.agg(F.max("csize").alias("m")).collect()[0]["m"] or 0
+    cap_possible = (
+        mx * (mx - 1) // 2 > max_pairs_per_class
+        or mx * mx > max_pairs_per_class
+    )
+    if not cap_possible:
+        m1 = members.select(F.col("rep").alias("fid1"), F.col("fid").alias("u"))
+        m2 = members.select(F.col("rep").alias("fid2"), F.col("fid").alias("v"))
+        near_exp = (
+            near.join(m1, "fid1")
+            .join(m2, "fid2")
+            .select(
+                F.least("u", "v").alias("fid_a"),
+                F.greatest("u", "v").alias("fid_b"),
+                "jaccard",
+                "status",
+            )
+        )
+        xa = members.select("sha256", F.col("fid").alias("fid_a"))
+        xb = members.select("sha256", F.col("fid").alias("fid_b"))
+        exact = (
+            xa.join(xb, "sha256")
+            .filter(F.col("fid_a") < F.col("fid_b"))
+            .select(
+                "fid_a",
+                "fid_b",
+                F.lit(1.0).alias("jaccard"),
+                F.lit(verify.STATUS_EXACT).alias("status"),
+            )
+        )
+        out = (
+            exact.unionByName(near_exp)
+            .join(ids.withColumnRenamed("fid", "fid_a"), "fid_a")
+            .withColumnRenamed("doc_id", "doc_id1")
+            .join(ids.withColumnRenamed("fid", "fid_b"), "fid_b")
+            .withColumnRenamed("doc_id", "doc_id2")
+            .select(
+                "doc_id1", "doc_id2",
+                F.round("jaccard", 4).alias("jaccard"), "status",
+            )
+        )
+        ledger = spark.createDataFrame(
+            [],
+            "kind string, n_members long, pairs_emitted long, "
+            "pairs_suppressed long",
+        )
+        return out, ledger
     csizes = members.groupBy("rep").agg(F.first("csize").alias("n"))
     near = (
         near.join(csizes.select(F.col("rep").alias("fid1"), F.col("n").alias("n1")), "fid1")
