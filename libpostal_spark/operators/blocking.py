@@ -171,8 +171,12 @@ def candidate_pairs(
     same window output) is the no-silent-caps ledger: kind, n_buckets,
     n_oversized, max_size.
     """
-    n_part = keys.sparkSession.sparkContext.defaultParallelism
-    keys = keys.repartition(n_part, "kind", "kid", "khash")
+    # no explicit partition count: a RepartitionByExpression without a fixed
+    # N lets AQE size the exchange from observed shuffle bytes — 381 keys
+    # coalesce to one partition instead of defaultParallelism near-empty
+    # tasks, and a 10^12-row stream gets byte-proportional partitions
+    # instead of a hardcoded number
+    keys = keys.repartition("kind", "kid", "khash")
     w = Window.partitionBy("kind", "kid", "khash")
     keyed = (
         keys.withColumn("cnt", F.count("*").over(w))
