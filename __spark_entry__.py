@@ -204,6 +204,91 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+_IVF = dict(k_lists=8, iters=5, nprobe=2, seed=42)
+_IVF_CENTROID_CACHE: dict = {}
+
+
+def _ivf_centroids(sf_dir: str):
+    """Deterministic IVF centroids fitted on the sf_dir's embedding table
+    (driver-side, direct parquet read sorted by vec_id — at corpus scale
+    this is a bounded sample, assignment stays distributed). Cached per
+    sf_dir; the oracle twin refits on the same file with the same code, so
+    query and oracle embed identical centroids."""
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tb = (
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        mat = np.vstack(tb["embedding"].to_numpy())
+        _IVF_CENTROID_CACHE[sf_dir] = (
+            similarity.kmeans_centroids(
+                mat, _IVF["k_lists"], _IVF["iters"], _IVF["seed"]
+            ),
+            np.asarray(
+                tb.loc[tb["vec_id"] == 0, "embedding"].iloc[0], dtype=float
+            ),
+        )
+    return _IVF_CENTROID_CACHE[sf_dir]
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-ANN: deterministic spherical-kmeans coarse quantizer, probe the
+    nprobe closest inverted lists, exact cosine re-rank — the second scale
+    path for similarity search next to hyperplane LSH."""
+    C, qvec = _ivf_centroids(sf_dir)
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir), [float(x) for x in qvec], C,
+        nprobe=_IVF["nprobe"], k=10,
+    )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of ivf_topk at the driver's compare scale (sf0.01): the
+    FINAL fitted centroids embedded as literals, first-max assignment scan
+    (argmax tie toward lower list id, = numpy argmax), literal probe list,
+    exact cosine re-rank."""
+    import numpy as np
+
+    C, qvec = _ivf_centroids("/root/testdata/sf0.01")
+    k = len(C)
+    scores = C @ np.asarray(qvec, dtype=float)
+    probes = [int(x) for x in np.argsort(-scores, kind="stable")[: _IVF["nprobe"]]]
+
+    def clit(j: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in C[j]) + "]"
+
+    s_cols = ", ".join(
+        f"list_inner_product(embedding::DOUBLE[], {clit(j)}) AS s{j}"
+        for j in range(k)
+    )
+    m = "greatest(" + ", ".join(f"s{j}" for j in range(k)) + ")"
+    assign = (
+        "CASE "
+        + " ".join(f"WHEN s{j} = {m} THEN {j}" for j in range(k))
+        + " END"
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        sc AS (SELECT vec_id, {s_cols} FROM embeddings),
+        sig AS (SELECT vec_id, {assign} AS list_id FROM sc),
+        cand AS (SELECT vec_id FROM sig WHERE list_id IN ({", ".join(map(str, probes))}))
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               round(list_inner_product(e.embedding::DOUBLE[], q.e)
+                     / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(q.e, q.e))), 4) AS cos_sim
+        FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 _SIG_SHA_CACHE: dict = {}
 
 
@@ -460,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_adjacent": _q_token_jaccard,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_signatures": _q_signatures,
         "signature_summary": _q_signature_summary,
         "shingle_stats": _q_shingle_stats,
@@ -1011,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -259,6 +259,85 @@ def probe_keys(
     return sorted(probes)
 
 
+def kmeans_centroids(
+    mat: np.ndarray, k: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means for IVF coarse quantization.
+
+    Seeded init (k distinct rows), FIXED iteration count, no data-dependent
+    convergence checks — full determinism is the contract, because the SQL
+    oracle embeds the FINAL centroids as literals and replays assignment.
+    Centroids are L2-normalized, so argmax(v·c_j) == argmax cos(v, c_j)
+    without normalizing v. At corpus scale you fit on a driver-side sample
+    (~100k rows); assignment itself is distributed.
+    """
+    m = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    mn = m / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    C = mn[rng.choice(len(mn), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mn @ C.T, axis=1)
+        for j in range(k):
+            members = mn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """embedding -> list_id (argmax dot with the normalized centroids;
+    numpy argmax picks the FIRST max — ties break toward lower list ids,
+    matching the oracle's ascending CASE scan)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ C.T, axis=1).astype(np.int32))
+
+    return assign_udf
+
+
+def ivf_signatures(
+    embeddings: DataFrame, centroids: np.ndarray, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, list_id) — the IVF inverted index. At scale: write once,
+    partitioned/bucketed BY list_id, so a probe prunes to nprobe lists."""
+    assign_udf = make_ivf_assign_udf(centroids)
+    return embeddings.select(
+        F.col(id_col), assign_udf(F.col("embedding")).alias("list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    qvec: list[float],
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe closest inverted lists, exact
+    cosine re-rank on their members — the classic alternative to sign-LSH
+    when the corpus clusters well. recall/nprobe trade documented by the
+    recall test in tests/test_ops.py."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    scores = C @ q
+    order = np.argsort(-scores, kind="stable")
+    probes = [int(x) for x in order[:nprobe]]
+    sigs = signatures
+    if sigs is None:
+        sigs = ivf_signatures(embeddings, centroids, id_col)
+    cands = sigs.filter(F.col("list_id").isin(probes)).select(id_col)
+    return brute_force_topk(embeddings.join(cands, id_col), qvec, k, id_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     qvec: list[float],

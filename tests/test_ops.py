@@ -289,3 +289,38 @@ def test_cosine_pairs_zero_norm_guard(spark):
         assert v == v, f"NaN cos_sim for {pair}"
         if 0 in pair:
             assert v == 0.0
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with a deterministic spherical-kmeans quantizer: on clustered
+    data (its design regime) probing 2 of 8 lists must recover >= 0.9 of
+    the exact top-10, with exact re-ranked scores."""
+    import numpy as np
+
+    from libpostal_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs, rows = [], []
+    for i in range(240):
+        c = centers[i % 8]
+        v = c + 0.3 * rng.standard_normal(16)
+        vecs.append(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mat = np.vstack(vecs)
+    C = similarity.kmeans_centroids(mat, 8, iters=5, seed=42)
+
+    q = [float(x) for x in vecs[0]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()}
+    got_rows = similarity.ivf_topk(df, q, C, nprobe=2, k=10).collect()
+    got = {r["vec_id"] for r in got_rows}
+    assert len(got & exact) >= 9, (got, exact)
+    # re-ranked scores are exact (match the brute-force scores)
+    bf = {r["vec_id"]: r["cos_sim"] for r in similarity.brute_force_topk(df, q, k=240).collect()}
+    for r in got_rows:
+        assert r["cos_sim"] == bf[r["vec_id"]]
+    # signatures index: every vector lands in exactly one of 8 lists
+    sig = similarity.ivf_signatures(df, C).collect()
+    assert len(sig) == 240
+    assert {r["list_id"] for r in sig} <= set(range(8))
