@@ -167,6 +167,73 @@ def _q_langid(spark, sf_dir):
     )
 
 
+def _q_langid_trigram(spark, sf_dir):
+    """Statistical language ID: character-trigram profile classifier fit
+    and applied in one distributed pass (integer-exact; see
+    textstats.lang_id_trigram)."""
+    return TS.lang_id_trigram(_docs(spark, sf_dir))
+
+
+def _langid_trigram_sql() -> str:
+    """DuckDB twin: the per-language trigram totals (hence the exact
+    cross-multiplication multipliers P/total_L) are recomputed here in
+    pandas from the driver's compare-scale table (sf0.01) and embedded as
+    integer literals; counts, per-trigram argmax, and the majority vote are
+    plain SQL with the same deterministic tie-breaks."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    tb["t"] = tb["text"].str.lower()
+    tb = tb[tb["t"].str.len() >= 3]
+    totals = (
+        (tb["t"].str.len() - 2).groupby(tb["lang"]).sum().astype(int).to_dict()
+    )
+    prod_all = 1
+    for v in totals.values():
+        prod_all *= int(v)
+    mult = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {prod_all // int(v)}::HUGEINT"
+            for lang, v in sorted(totals.items())
+        )
+        + " END"
+    )
+    return f"""
+        WITH low AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                            lower(text) AS t
+                     FROM documents WHERE length(lower(text)) >= 3),
+        poss AS (SELECT doc_id, lang, t,
+                        unnest(generate_series(1, length(t) - 2)) AS pos
+                 FROM low),
+        tris AS (SELECT doc_id, lang,
+                        substr(t, CAST(pos AS INT), 3) AS tri
+                 FROM poss),
+        counts AS (SELECT lang, tri, count(*) AS cnt
+                   FROM tris GROUP BY lang, tri),
+        scored AS (SELECT tri, lang, cnt::HUGEINT * ({mult}) AS score
+                   FROM counts),
+        model AS (SELECT tri, lang AS profile_lang FROM (
+                    SELECT tri, lang,
+                           row_number() OVER (PARTITION BY tri
+                                              ORDER BY score DESC, lang ASC) AS rk
+                    FROM scored) WHERE rk = 1),
+        votes AS (SELECT d.doc_id, m.profile_lang, count(*) AS v
+                  FROM tris d JOIN model m USING (tri)
+                  GROUP BY d.doc_id, m.profile_lang),
+        top AS (SELECT doc_id, profile_lang FROM (
+                  SELECT doc_id, profile_lang,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY v DESC, profile_lang ASC) AS rk
+                  FROM votes) WHERE rk = 1)
+        SELECT d.doc_id, coalesce(t.profile_lang, 'und') AS lang_pred
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        LEFT JOIN top t USING (doc_id)
+    """
+
+
 def _q_token_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), adjacent_only=True)
 
@@ -542,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "quality_score": _q_quality,
         "lang_id": _q_langid,
+        "lang_id_trigram": _q_langid_trigram,
         "token_jaccard_adjacent": _q_token_jaccard,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -972,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {_langid_sql()} AS lang_pred
             FROM documents
         """,
+        "lang_id_trigram": _langid_trigram_sql(),
         "token_jaccard_adjacent": """
             WITH toks AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

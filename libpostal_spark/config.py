@@ -48,6 +48,13 @@ class PipelineConfig:
     # abbreviation, exactly like "St" ≡ "Street" in the reference
     token_expansions: tuple = ()
     fold_numbers: bool = False   # numeric literals → '0' (digits→D analog)
+    # numex: spelled-out English numbers → numeric tokens with real
+    # left-to-right composition ("three hundred twenty one" → 321; analog
+    # of src/numex.c:1260); Roman numerals are a separate opt-in because
+    # strict-syntax sequences can still be words ("mix"), the reference's
+    # documented ambiguity class
+    fold_spelled_numbers: bool = False
+    fold_roman_numerals: bool = False
 
     # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-193) ---
     jaccard_threshold: float = 0.7   # needs_review_threshold in the reference

@@ -95,6 +95,8 @@ def canonicalize_batch(
     expansions: dict[str, str] | None = None,
     fold_numbers: bool = False,
     transliterate: bool = False,
+    fold_spelled_numbers: bool = False,
+    fold_roman: bool = False,
 ) -> pd.Series:
     """Vectorized canonicalizer: pd.Series[str] → pd.Series[str] (canon form).
 
@@ -124,6 +126,12 @@ def canonicalize_batch(
     s = s.str.replace("_", " ", regex=False)
     s = s.str.lower()
     joined = s.str.findall(_RE_TOKEN).str.join(" ")
+    if fold_spelled_numbers:
+        # numex composition BEFORE the dictionary/number chain, so a folded
+        # "twenty three" -> "23" still hits fold_numbers' digits->0 collapse
+        from .numex import fold_spelled_numbers_batch
+
+        joined = fold_spelled_numbers_batch(joined, fold_roman)
     if expansions or fold_numbers:
         joined, _ = rewrite_joined_batch(joined, expansions, fold_numbers)
     return joined

@@ -135,3 +135,97 @@ def norm_fingerprint(text: Column) -> Column:
     document-fingerprint op (rolling-hash analog: exact canonical digest)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.sha2(norm.cast("binary"), 256)
+
+
+def lang_id_trigram(
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """STATISTICAL language ID: character-trigram profile classifier
+    (Cavnar–Trenkle-family; the distributed analog of the reference's
+    trained classifier, /root/reference/src/language_classifier.c), fit AND
+    applied as pure DataFrame ops in one pass over a labeled table.
+
+    Train: per-language trigram counts + totals; each trigram's profile
+    language is the argmax of cnt_L / total_L, compared EXACTLY via
+    integer cross-multiplication (cnt_L × Π total_other — decimal(38)
+    arithmetic, no float anywhere), ties to the lexicographically smaller
+    language. Predict: each of a doc's trigram occurrences votes for its
+    profile language; the doc's label is the majority vote (ties to the
+    smaller language; docs with no modeled trigram → 'und'). Integer-exact
+    end-to-end, which is what lets the DuckDB oracle replay it
+    value-for-value.
+
+    At scale: the model is a small (tri → lang) table — broadcast it; the
+    fit runs over a labeled sample, prediction over everything.
+    """
+    from pyspark.sql import Window
+
+    lowered = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang_label"),
+        F.lower(F.col(text_col)).alias("t"),
+    ).filter(F.length("t") >= 3)
+    tris = lowered.withColumn(
+        "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
+    ).select(
+        id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
+    )
+
+    counts = tris.groupBy("lang_label", "tri").agg(F.count("*").alias("cnt"))
+    totals = {
+        r["lang_label"]: int(r["n"])
+        for r in counts.groupBy("lang_label")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    langs = sorted(totals)
+    # cross-multiplied score: cnt_L * prod(totals of the OTHER languages)
+    # orders exactly like cnt_L / total_L (all positive integers)
+    prod_all = 1
+    for v in totals.values():
+        prod_all *= v
+    mult = F.create_map(
+        *[
+            x
+            for lang in langs
+            for x in (
+                F.lit(lang),
+                F.lit(prod_all // totals[lang]).cast("decimal(38,0)"),
+            )
+        ]
+    )
+    scored = counts.withColumn(
+        "score", F.col("cnt").cast("decimal(38,0)") * mult[F.col("lang_label")]
+    )
+    w_tri = Window.partitionBy("tri").orderBy(
+        F.desc("score"), F.asc("lang_label")
+    )
+    model = (
+        scored.withColumn("rk", F.row_number().over(w_tri))
+        .filter(F.col("rk") == 1)
+        .select("tri", F.col("lang_label").alias("profile_lang"))
+    )
+
+    votes = (
+        tris.join(model, "tri")
+        .groupBy(id_col, "profile_lang")
+        .agg(F.count("*").alias("v"))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.desc("v"), F.asc("profile_lang")
+    )
+    top = (
+        votes.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("profile_lang").alias("lang_pred"))
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(top.withColumn(id_col, F.col(id_col).cast("long")), id_col, "left")
+        .select(
+            id_col, F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
+        )
+    )

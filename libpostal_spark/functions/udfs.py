@@ -93,6 +93,8 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
                 expansions=expansions,
                 fold_numbers=cfg.fold_numbers,
                 transliterate=cfg.transliterate,
+                fold_spelled_numbers=cfg.fold_spelled_numbers,
+                fold_roman=cfg.fold_roman_numerals,
             )
             f = featurize(canon, cfg)
             out = {

@@ -324,3 +324,25 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     sig = similarity.ivf_signatures(df, C).collect()
     assert len(sig) == 240
     assert {r["list_id"] for r in sig} <= set(range(8))
+
+
+def test_lang_id_trigram_classifier(spark):
+    """The trigram profile classifier must recover the labels of clearly
+    distinct languages on held-in data, label sub-trigram docs 'und', and
+    be deterministic."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river", "en"),
+        (1, "a different english sentence with many common words in it", "en"),
+        (2, "el perro corre por la calle y el gato duerme en la casa", "es"),
+        (3, "una frase espanola con palabras muy comunes para la prueba", "es"),
+        (4, "der hund lauft durch die strasse und die katze schlaft dort", "de"),
+        (5, "ein weiterer deutscher satz mit vielen haufigen wortern darin", "de"),
+        (6, "ab", "en"),                       # too short for a trigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id_trigram(docs).collect()}
+    assert got[6] == "und"
+    for i in range(6):
+        assert got[i] == rows[i][2], (i, got[i])
+    got2 = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id_trigram(docs).collect()}
+    assert got == got2
