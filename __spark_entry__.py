@@ -171,7 +171,10 @@ def _q_langid_trigram(spark, sf_dir):
     """Statistical language ID: character-trigram profile classifier fit
     and applied in one distributed pass (integer-exact; see
     textstats.lang_id_trigram)."""
-    return TS.lang_id_trigram(_docs(spark, sf_dir))
+    out = TS.lang_id_trigram(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_pred"
+    )
 
 
 def _langid_trigram_sql() -> str:

@@ -36,6 +36,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# non-local filesystems pay ~3 driver→JVM RPCs per file to stat; beyond this
+# many files the parallel executor-side content scan is cheaper than the
+# serial driver listing
+_META_MAX_FILES = 10_000
+
 MANIFEST_SCHEMA = (
     "stage string, config_hash string, input_fingerprint string, pt long, "
     "n_pt long, rows long, wall_ms long, written_at string"
@@ -45,12 +50,19 @@ MANIFEST_SCHEMA = (
 def input_fingerprint(files: DataFrame) -> str:
     """Order-independent fingerprint of an input table.
 
-    Fast path — FILE METADATA: when the frame is backed by concrete files
-    (``inputFiles`` non-empty), hash the sorted (path, length, mtime)
-    listing through the Hadoop FS layer. Zero data I/O, so a fully-resumed
-    run costs a namenode listing instead of an O(input) content scan — the
-    Iceberg analog is the snapshot id. Any rewrite (even byte-identical)
-    changes mtime and invalidates: recompute-on-doubt is the safe direction.
+    Fast path — FILE METADATA + PLAN: when the frame is backed by concrete
+    files (``inputFiles`` non-empty), hash the sorted (path, length, mtime)
+    listing PLUS the canonicalized logical plan. Zero data I/O, so a
+    fully-resumed run costs a file listing instead of an O(input) content
+    scan — the Iceberg analog is the snapshot id. The plan component is
+    what keeps two DIFFERENT frames over the same files apart: a filtered,
+    limited, or projected read must never resume the unfiltered run's
+    checkpoints (same stale-serve class the content scan prevented).
+    Any rewrite (even byte-identical) changes mtime and invalidates:
+    recompute-on-doubt is the safe direction. ``file:`` URIs stat through
+    ``os.stat`` (C-speed, no per-file JVM round-trips); other filesystems
+    stat through the Hadoop layer, falling back to the content scan above
+    ``_META_MAX_FILES`` files where per-file driver RPCs would dominate.
 
     Fallback — CONTENT: frames with no file lineage (in-memory test data,
     views) get the original one-scan xor-folded xxhash64 over every column,
@@ -58,23 +70,38 @@ def input_fingerprint(files: DataFrame) -> str:
     served stale.
     """
     import hashlib
+    import os as _os
+    from urllib.parse import unquote, urlparse
 
     try:
         paths = sorted(files.inputFiles())
+        # canonicalized plan: expr ids normalized, so the same query shape
+        # written by a new session hashes identically
+        plan = (
+            files._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
     except Exception:
         paths = []
-    if paths:
-        spark = files.sparkSession
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        h = hashlib.sha256()
-        for p in paths:
-            jpath = jvm.org.apache.hadoop.fs.Path(p)
-            fs = jpath.getFileSystem(conf)
-            st = fs.getFileStatus(jpath)
-            h.update(
-                f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
-            )
+    local = paths and all(p.startswith("file:") for p in paths)
+    if paths and (local or len(paths) <= _META_MAX_FILES):
+        h = hashlib.sha256(plan.encode())
+        if local:
+            for p in paths:
+                st = _os.stat(unquote(urlparse(p).path))
+                h.update(
+                    f"{p}\x00{st.st_size}\x00{st.st_mtime_ns // 1_000_000}\n".encode()
+                )
+        else:
+            spark = files.sparkSession
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for p in paths:
+                jpath = jvm.org.apache.hadoop.fs.Path(p)
+                fs = jpath.getFileSystem(conf)
+                st = fs.getFileStatus(jpath)
+                h.update(
+                    f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
+                )
         return f"meta:{len(paths)}:{h.hexdigest()[:16]}"
     row = files.agg(
         F.count("*").alias("c"),

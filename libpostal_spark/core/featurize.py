@@ -168,11 +168,12 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
     ``winnow_window`` tokens — 0 if none exists. Decision-exact: a run of
     >= W tokens exists iff some W-token window of one side equals a W-token
     window of the other, so we intersect rolling W-window hashes (computed
-    ONCE per unique canon for the whole batch), then verify the matched
-    windows token-for-token (hash collisions rejected) and extend the run
-    outward to its full length. The reported length is the maximal run
-    around the first verified match — always >= W when accepted, which is
-    the only property verify's confirm rule consumes. The pure-Python
+    ONCE per unique canon for the whole batch), then verify matched
+    windows token-for-token (hash collisions rejected) and extend each run
+    outward to its full length. ALL (pa, pb) alignments of equal window
+    hashes are candidates (per-diagonal span pruning + early exit at the
+    accept bar keep this bounded), so the reported length is the MAXIMUM
+    verified run — the property verify's confirm rule consumes. The pure-Python
     suffix-automaton ``_lcs_tokens`` (exact global LCS) cross-checks this in
     tests; it is ~10ms/pair and was the confirm-stage bottleneck.
     """
@@ -209,27 +210,57 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
         sa, sb = sorteds[i1], sorteds[i2]
         if len(sa) == 0 or len(sb) == 0:
             return 0
-        inter, ia, ib = np.intersect1d(sa, sb, return_indices=True)
         a, b = toks[i1], toks[i2]
         best = 0
-        covered: list[tuple[int, int]] = []    # verified spans in a-coords
-        for m in range(len(inter)):
-            pa = int(orders[i1][ia[m]])
-            pb = int(orders[i2][ib[m]])
-            if any(s <= pa < e for s, e in covered):
-                continue                       # inside an already-measured run
-            if a[pa : pa + W] != b[pb : pb + W]:
-                continue                       # hash collision: reject, try next
-            lo = 0
-            while pa - lo - 1 >= 0 and pb - lo - 1 >= 0 and a[pa - lo - 1] == b[pb - lo - 1]:
-                lo += 1
-            hi = W
-            while pa + hi < len(a) and pb + hi < len(b) and a[pa + hi] == b[pb + hi]:
-                hi += 1
-            covered.append((pa - lo, pa + hi))
-            best = max(best, lo + hi)
-            if best >= target:
-                break                          # decision-sufficient
+        # ALL window-hash matches, not just intersect1d's first-occurrence
+        # pairing: a window value repeated on either side has several
+        # (pa, pb) alignments and the maximal run may live on any diagonal.
+        sb_arr = sorteds[i2]
+        lo_idx = np.searchsorted(sb_arr, sorteds[i1], side="left")
+        hi_idx = np.searchsorted(sb_arr, sorteds[i1], side="right")
+        # spans already verified, PER DIAGONAL (pb - pa): a later match on
+        # the same diagonal inside a measured span is redundant, but the
+        # same pa on a different diagonal is a different alignment and must
+        # still be tried (the round-3 covered-by-pa-only skip dropped those
+        # and under-reported the max run)
+        covered: dict[int, list[tuple[int, int]]] = {}
+        # bounded-attempts guard: with real (collision-free) hashes every
+        # attempted alignment verifies and extends, so runs >= the accept
+        # bar exit on their first alignment; exhausting the budget requires
+        # thousands of REPEATED sub-bar (96..158-token) blocks on both
+        # sides. Beyond the budget we return the best run measured so far —
+        # bounded work per pair, never a hung executor.
+        budget = 4096
+        for m in np.nonzero(hi_idx > lo_idx)[0]:
+            pa = int(orders[i1][m])
+            for bm in range(int(lo_idx[m]), int(hi_idx[m])):
+                if budget <= 0:
+                    return best
+                budget -= 1
+                pb = int(orders[i2][bm])
+                diag = pb - pa
+                if any(s <= pa < e for s, e in covered.get(diag, ())):
+                    continue
+                if a[pa : pa + W] != b[pb : pb + W]:
+                    continue                   # hash collision: reject
+                lo = 0
+                while (
+                    pa - lo - 1 >= 0
+                    and pb - lo - 1 >= 0
+                    and a[pa - lo - 1] == b[pb - lo - 1]
+                ):
+                    lo += 1
+                hi = W
+                while (
+                    pa + hi < len(a)
+                    and pb + hi < len(b)
+                    and a[pa + hi] == b[pb + hi]
+                ):
+                    hi += 1
+                covered.setdefault(diag, []).append((pa - lo, pa + hi))
+                best = max(best, lo + hi)
+                if best >= target:
+                    return best                # decision-sufficient
         return best
 
     i1s, i2s = inv[:n], inv[n:]

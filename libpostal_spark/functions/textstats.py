@@ -187,18 +187,22 @@ def lang_id_trigram(
     prod_all = 1
     for v in totals.values():
         prod_all *= v
-    mult = F.create_map(
-        *[
-            x
-            for lang in langs
-            for x in (
-                F.lit(lang),
-                F.lit(prod_all // totals[lang]).cast("decimal(38,0)"),
-            )
-        ]
-    )
+    # multipliers exceed int64 at modest corpus sizes (prod of other
+    # languages' totals); ship them as DECIMAL STRING literals — F.lit on a
+    # >64-bit python int throws. decimal(38,0) bounds the scheme: with L
+    # languages, Π totals × max cnt must stay under 10^38 — fit the model
+    # on a bounded labeled sample beyond that (enforced below).
+    if prod_all * max(totals.values()) >= 10**38:
+        raise ValueError(
+            "lang_id_trigram: trigram totals too large for exact decimal(38) "
+            "cross-multiplication — fit on a smaller labeled sample"
+        )
+    mult_expr = "CASE lang_label " + " ".join(
+        f"WHEN '{lang}' THEN CAST('{prod_all // totals[lang]}' AS DECIMAL(38,0))"
+        for lang in langs
+    ) + " END"
     scored = counts.withColumn(
-        "score", F.col("cnt").cast("decimal(38,0)") * mult[F.col("lang_label")]
+        "score", F.col("cnt").cast("decimal(38,0)") * F.expr(mult_expr)
     )
     w_tri = Window.partitionBy("tri").orderBy(
         F.desc("score"), F.asc("lang_label")
@@ -222,9 +226,11 @@ def lang_id_trigram(
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("profile_lang").alias("lang_pred"))
     )
+    # join on the NATIVE id type — force-casting to long would null out
+    # string doc ids and silently degrade every prediction to 'und'
     return (
-        docs.select(F.col(id_col).cast("long").alias(id_col))
-        .join(top.withColumn(id_col, F.col(id_col).cast("long")), id_col, "left")
+        docs.select(F.col(id_col))
+        .join(top, id_col, "left")
         .select(
             id_col, F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
         )

@@ -207,7 +207,17 @@ def make_expand_udf(
             T.StructField("n_alternatives", T.IntegerType()),
         ]
     )
-    vectorized = not any("|" in v for v in (expansions or {}).values())
+    # vectorized only when the REPLACE chain provably equals the
+    # enumeration semantics: no '|' multi-alternative values (option counts
+    # differ) and no token shared between keys and values — a shared token
+    # would let a later pattern match text produced by an earlier
+    # replacement (the chain cascades, enumeration never re-matches)
+    exp = expansions or {}
+    key_toks = {t for k in exp for t in k.split(" ")}
+    val_toks = {t for v in exp.values() for t in v.replace("|", " ").split(" ")}
+    vectorized = not any("|" in v for v in exp.values()) and not (
+        key_toks & val_toks
+    )
 
     @F.pandas_udf(schema)
     def expand_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

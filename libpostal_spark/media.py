@@ -212,7 +212,13 @@ def image_feature(img: np.ndarray, dim: int) -> np.ndarray:
     g = int(np.sqrt(dim))
     if g * g != dim:
         raise ValueError("image feature dim must be a perfect square")
-    luma = img[:, :, :3].astype(np.float64).mean(axis=2) if img.ndim == 3 else img
+    if img.ndim == 3:
+        # color planes only — alpha must NOT average into luma (a gray+alpha
+        # PNG has channels [gray, alpha]; RGBA has [r, g, b, a])
+        color = img[:, :, :1] if img.shape[2] <= 2 else img[:, :, :3]
+        luma = color.astype(np.float64).mean(axis=2)
+    else:
+        luma = img
     grid = block_mean_2d(np.asarray(luma, dtype=np.float64), g, g)
     return (grid.reshape(-1) / 127.5 - 1.0).astype(np.float32)
 

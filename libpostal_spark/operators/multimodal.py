@@ -111,7 +111,13 @@ def decode_media_features(
                 try:
                     fmt, vec = M.decode_payload(p or b"", dim)
                     decoded.append(fmt)
-                except NotImplementedError:
+                except Exception:
+                    # NotImplementedError = format needs codec libs; any
+                    # other exception = corrupt payload of a recognized
+                    # format (bad zlib stream, truncated header, …). Either
+                    # way ONE bad row must not kill the whole job in fake
+                    # mode — it degrades to the deterministic sha vector
+                    # with provenance; "error" mode surfaces it.
                     if on_unsupported == "error":
                         raise
                     vec = _fake_feature(p or b"", dim)

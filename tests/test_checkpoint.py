@@ -310,3 +310,28 @@ def test_input_fingerprint_metadata_fast_path(spark, tmp_path):
     # frames without file lineage fall back to the content scan
     mem = spark.createDataFrame([(1,)], "v long")
     assert not input_fingerprint(mem).startswith("meta:")
+
+
+def test_input_fingerprint_distinguishes_plans_on_same_files(spark, tmp_path):
+    """Code-review r3: two different frames over the SAME files (filtered
+    vs full vs projected) must not share a metadata fingerprint — otherwise
+    a filtered run's checkpoints would be served to the unfiltered run."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import input_fingerprint
+
+    p = str(tmp_path / "pf.parquet")
+    spark.createDataFrame(
+        [(i, "py" if i % 2 else "js") for i in range(40)], "v long, lang string"
+    ).write.parquet(p)
+
+    full = input_fingerprint(spark.read.parquet(p))
+    filtered = input_fingerprint(spark.read.parquet(p).filter(F.col("lang") == "py"))
+    limited = input_fingerprint(spark.read.parquet(p).limit(3))
+    projected = input_fingerprint(spark.read.parquet(p).select("v"))
+    assert full.startswith("meta:")
+    assert len({full, filtered, limited, projected}) == 4
+    # and the same plan re-built from scratch still matches (resume works)
+    assert filtered == input_fingerprint(
+        spark.read.parquet(p).filter(F.col("lang") == "py")
+    )

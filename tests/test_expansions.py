@@ -172,3 +172,16 @@ def test_expansion_path_is_vectorized():
     assert make_expand_udf(dict(DEFAULT_CODE_EXPANSIONS)).vectorized
     # '|' multi-alternative values need per-segment option counts -> exact path
     assert not make_expand_udf({"tmp": "temporary|temp"}).vectorized
+
+
+def test_cascading_dictionary_falls_back_to_exact_path():
+    """Code-review r3: when a key token appears among value tokens, the
+    REPLACE chain would cascade (later patterns re-match replaced text)
+    while enumeration never re-matches — such dictionaries must take the
+    exact path, keeping forms[0] == canon_root."""
+    from libpostal_spark.functions.udfs import make_expand_udf
+
+    cascading = {"ab": "z", "z": "q"}
+    assert not make_expand_udf(cascading).vectorized
+    # disjoint dictionaries stay vectorized (incl. the shipped one)
+    assert make_expand_udf({"cfg": "configuration"}).vectorized

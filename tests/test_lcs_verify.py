@@ -113,3 +113,30 @@ def test_max_run_reported_not_first(spark):
     got = _run_confirm(spark, rows, cfg)
     assert len(got) == 1
     assert got[0]["lcs_tokens"] >= 200
+
+
+def test_max_run_across_alignments_of_repeated_block(spark):
+    """Code-review r3 repro: when a shared block X repeats on one side, the
+    maximal run may pair the SECOND occurrence of X with the other side's
+    single occurrence (X+Y). The measurer must try all alignments, not just
+    hash-sort-first, or the 160-token X+Y run is reported as 100 and the
+    clone edge is dropped."""
+    import pandas as pd
+
+    from libpostal_spark.config import PipelineConfig
+    from libpostal_spark.core.featurize import pair_lcs_batch
+
+    cfg = PipelineConfig()
+    X = [f"x{i}" for i in range(100)]
+    Y = [f"y{i}" for i in range(60)]
+    junk = [f"j{i}" for i in range(50)]
+    a = " ".join(X + Y)
+    b = " ".join(X + junk + X + Y)
+    # repeat across several randomized paddings so hash-sort order varies
+    rows_a, rows_b = [], []
+    for k in range(20):
+        pad = [f"p{k}_{i}" for i in range(k + 3)]
+        rows_a.append(" ".join(pad + X + Y))
+        rows_b.append(" ".join(X + junk + X + Y + pad))
+    got = pair_lcs_batch(pd.Series([a] + rows_a), pd.Series([b] + rows_b), cfg)
+    assert int(got.min()) >= 160, list(map(int, got))

@@ -162,3 +162,41 @@ def test_decode_media_features_spark(spark):
         multimodal.decode_media_features(
             media, dim=16, on_unsupported="error"
         ).collect()
+
+
+def test_gray_alpha_luma_excludes_alpha():
+    """Code-review r3: a fully-opaque black gray+alpha PNG must featurize
+    as -1 (black), not as mid-gray (alpha averaged into luma)."""
+    ga = np.zeros((8, 8, 2), dtype=np.uint8)
+    ga[:, :, 1] = 255                         # opaque alpha
+    fmt, vec = M.decode_payload(M.encode_png(ga), dim=16)
+    assert fmt == "png"
+    assert np.allclose(vec, -1.0), vec
+
+
+def test_corrupt_payload_falls_back_not_crashes(spark):
+    """Code-review r3: one corrupt payload of a RECOGNIZED format must not
+    kill the job in fake mode — it degrades to the sha vector."""
+    import pandas as pd
+
+    from libpostal_spark.operators import multimodal
+
+    corrupt_png = M.PNG_MAGIC + b"\x00\x00\x00\x0dIHDRgarbage!!" + b"\xde\xad" * 30
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "kind": ["image", "image"],
+            "payload": [corrupt_png, M.encode_png(_rand_img(4, 4, 3))],
+            "width": [4, 4],
+            "height": [4, 4],
+            "duration_ms": [0, 0],
+        }
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_media_features(
+            spark.createDataFrame(rows), dim=16
+        ).collect()
+    }
+    assert got[0]["decoded"] == "fake:image"
+    assert got[1]["decoded"] == "png"

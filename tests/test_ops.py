@@ -346,3 +346,15 @@ def test_lang_id_trigram_classifier(spark):
         assert got[i] == rows[i][2], (i, got[i])
     got2 = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id_trigram(docs).collect()}
     assert got == got2
+
+
+def test_lang_id_trigram_string_ids(spark):
+    """Code-review r3: non-numeric doc ids must keep their votes (no silent
+    long-cast nulling)."""
+    rows = [
+        ("doc-a", "the quick brown fox and the lazy dog in the field", "en"),
+        ("doc-b", "el perro corre por la calle y el gato en la casa", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id_trigram(docs).collect()}
+    assert got == {"doc-a": "en", "doc-b": "es"}
