@@ -142,6 +142,7 @@ def lang_id_trigram(
     text_col: str = "text",
     lang_col: str = "lang",
     id_col: str = "doc_id",
+    fit_max_docs: int = 2000,
 ):
     """STATISTICAL language ID: character-trigram profile classifier
     (Cavnar–Trenkle-family; the distributed analog of the reference's
@@ -173,8 +174,24 @@ def lang_id_trigram(
     ).select(
         id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
     )
+    # the trigram stream feeds BOTH the fit (counts) and the vote join —
+    # materialize once instead of re-exploding the corpus per consumer
+    tris = tris.persist()
 
-    counts = tris.groupBy("lang_label", "tri").agg(F.count("*").alias("cnt"))
+    # fit on a bounded, DETERMINISTIC document sample at scale (first
+    # fit_max_docs ids in sort order — reproducible, oracle-replayable);
+    # prediction still covers every document. At the sf0.01 compare scale
+    # the corpus is below the bound, so fit == full and the SQL twin's
+    # totals match exactly.
+    n_docs = docs.select(id_col).count()
+    fit_src = tris
+    if n_docs > fit_max_docs:
+        sample_ids = (
+            docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
+        )
+        fit_src = tris.join(F.broadcast(sample_ids), id_col)
+
+    counts = fit_src.groupBy("lang_label", "tri").agg(F.count("*").alias("cnt"))
     totals = {
         r["lang_label"]: int(r["n"])
         for r in counts.groupBy("lang_label")
@@ -228,10 +245,11 @@ def lang_id_trigram(
     )
     # join on the NATIVE id type — force-casting to long would null out
     # string doc ids and silently degrade every prediction to 'und'
-    return (
+    out = (
         docs.select(F.col(id_col))
         .join(top, id_col, "left")
         .select(
             id_col, F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
         )
     )
+    return out

@@ -113,3 +113,42 @@ def exact_dup_alerts(
         F.col("fid").alias("seen_fid"), "sha256"
     )
     return new.join(seen, "sha256").filter(F.col("fid") != F.col("seen_fid"))
+
+
+def windowed_ingest_stats(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Event-time windowed ingestion metrics with late-data handling —
+    the streaming monitoring view of the batch ``dedup_rate`` query.
+
+    files stream (+ event-time column) → watermark → per-window:
+      n_files, n_distinct (approx_count_distinct over content sha256 —
+      exact distinct isn't incrementally maintainable in append mode),
+      dup_rate_est = 1 - distinct/files.
+
+    Append output mode: a window finalizes once the watermark passes its
+    end, so downstream sinks see each window exactly once; late rows
+    beyond the watermark are dropped by contract (counted by Spark's
+    stateOperators metrics).
+    """
+    ided = blocking.with_ids(stream).withWatermark(ts_col, watermark)
+    return (
+        ided.groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.approx_count_distinct("sha256").alias("n_distinct"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_files",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_files"),
+                4,
+            ).alias("dup_rate_est"),
+        )
+    )

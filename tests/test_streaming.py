@@ -105,3 +105,49 @@ def test_stateful_exact_dup_stream_cross_batch(spark, cfg, tmp_path):
     # the new alert references the ORIGINAL canonical fid (cross-batch state)
     new = [r for r in got2 if r["fid"] not in {g["fid"] for g in got1}][0]
     assert new["first_fid"] == first_fid
+
+
+def test_windowed_ingest_stats(spark, tmp_path):
+    """Watermarked event-time windows: one finalized row per window with
+    file counts and the estimated dup rate."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.streaming import windowed_ingest_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):                       # window 1: 6 dups of one file
+        rows.append(("r", f"p{i}", "c", "py", "same content" if i < 6 else f"u{i}", t0))
+    for i in range(4):                        # window 2: all distinct
+        rows.append(("r", f"q{i}", "c", "py", f"w2-{i}", t0 + dt.timedelta(minutes=1)))
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content", "event_time"])
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    q = (
+        windowed_ingest_stats(stream, window="1 minute", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].minute: r
+        for r in spark.sql("select * from win_stats").collect()
+    }
+    # append mode emits only windows the watermark has passed — window 1
+    # (12:00) finalizes once the 12:01 data arrives
+    assert 0 in got
+    w1 = got[0]
+    assert w1["n_files"] == 10
+    assert 4 <= w1["n_distinct"] <= 6          # approx distinct of 5
+    assert w1["dup_rate_est"] > 0.3
+    spark.sql("drop view if exists win_stats")
