@@ -148,6 +148,12 @@ def _q_embedding_near_dup(spark, sf_dir):
     return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup clustering (CC over the exact pair graph
+    at sf scale) — the embedding analog of doc_near_dup_clusters."""
+    return similarity.embedding_clusters(_embs(spark, sf_dir), threshold=0.4)
+
+
 def _q_quality(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -610,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
+        "embedding_near_dup_clusters": _q_embedding_clusters,
         "quality_score": _q_quality,
         "lang_id": _q_langid,
         "lang_id_trigram": _q_langid_trigram,
@@ -1017,6 +1024,32 @@ def oracle_sql() -> dict[str, str]:
                         '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "embedding_near_dup_clusters": """
+            WITH RECURSIVE v AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     embedding::DOUBLE[] AS e,
+                     sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings
+            ),
+            edges AS (
+              SELECT a.vec_id AS u, b.vec_id AS w
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) >= 0.4
+            ),
+            sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+            reach AS (
+              SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM sym)
+              UNION
+              SELECT r.src, s.w FROM reach r JOIN sym s ON s.u = r.node
+            ),
+            comp AS (SELECT node AS vec_id, min(src) AS component
+                     FROM reach GROUP BY node)
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS component,
+                   (e.vec_id = coalesce(c.component, e.vec_id)) AS is_canonical
+            FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings) e
+            LEFT JOIN comp c USING (vec_id)
         """,
         "embedding_near_dup_pairs": """
             WITH v AS (

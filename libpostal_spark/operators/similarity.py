@@ -259,6 +259,52 @@ def probe_keys(
     return sorted(probes)
 
 
+def embedding_clusters(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    max_exact_rows: int = 200_000,
+    cc_driver_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERING: cosine_pairs edges →
+    connected components → (vec_id, component, is_canonical), the embedding
+    analog of the MinHash pipeline's cluster output (component = min vec_id
+    of the component; singletons label themselves).
+
+    Pairs route exact/bucketed by corpus size exactly like cosine_pairs;
+    CC routes driver/distributed by edge count like the main pipeline."""
+    from . import cluster
+
+    pairs = cosine_pairs(
+        embeddings, threshold, id_col=id_col, max_exact_rows=max_exact_rows
+    ).select(
+        F.col("vec_id1").cast("string").alias("fid1"),
+        F.col("vec_id2").cast("string").alias("fid2"),
+    )
+    labels = cluster.connected_components_auto(
+        pairs, None, cc_driver_max_edges
+    )
+    # string CC labels order lexicographically; re-derive the numeric min
+    # per component so the contract is numeric-min vec_id
+    lab = labels.select(
+        F.col("fid").cast("long").alias(id_col),
+        F.col("component").alias("comp_str"),
+    )
+    comp_min = lab.groupBy("comp_str").agg(
+        F.min(id_col).alias("component")
+    )
+    labeled = lab.join(comp_min, "comp_str").select(id_col, "component")
+    return (
+        embeddings.select(F.col(id_col).cast("long").alias(id_col))
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+
+
 def kmeans_centroids(
     mat: np.ndarray, k: int, iters: int = 5, seed: int = 42
 ) -> np.ndarray:

@@ -152,3 +152,67 @@ def windowed_ingest_stats(
             ).alias("dup_rate_est"),
         )
     )
+
+
+def stateful_near_dup_candidates(
+    stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32
+) -> DataFrame:
+    """Streaming NEAR-dup candidate alerts with cross-batch LSH state.
+
+    files stream → featurize micro-batch (same UDF as batch) → explode the
+    MinHash band keys → ``applyInPandasWithState`` keyed by (band, khash):
+    per bucket the state stores up to ``max_state_fids`` member fids; every
+    new arrival that lands in a non-empty bucket emits candidate rows
+    against the stored members. This upgrades the streaming contract from
+    "exact alerts now" to "exact + LSH candidate alerts now, batch confirm
+    + re-cluster later" — candidates carry the batch pipeline's collision
+    probability (P = 1-(1-t^r)^b across buckets), and the periodic batch
+    pass remains the source of truth for verified clusters.
+
+    State is bounded: ≤ max_state_fids × 64 bytes per non-empty bucket
+    (hot boilerplate buckets stop accumulating at the cap and keep alerting
+    against the retained members — the streaming analog of star pairing;
+    the batch pass covers the rest). Output (append mode):
+        band, khash, fid (the arrival), match_fid (stored member).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sigs = blocking.signatures(stream, cfg)
+    keys = sigs.select(
+        "fid", F.posexplode("bands").alias("band", "khash")
+    )
+
+    def track(key, pdfs, state: GroupState):
+        band, khash = int(key[0]), int(key[1])
+        arrivals: list[str] = []
+        for pdf in pdfs:
+            arrivals.extend(pdf["fid"])
+        arrivals.sort()
+        stored: list[str] = list(state.get[0]) if state.exists else []
+        out_fid, out_match = [], []
+        for fid in arrivals:
+            for m in stored:
+                if m != fid:
+                    out_fid.append(fid)
+                    out_match.append(m)
+            if len(stored) < max_state_fids:
+                stored.append(fid)
+        state.update((stored,))
+        if out_fid:
+            yield pd.DataFrame(
+                {
+                    "band": band,
+                    "khash": khash,
+                    "fid": out_fid,
+                    "match_fid": out_match,
+                }
+            )
+
+    return keys.groupBy("band", "khash").applyInPandasWithState(
+        track,
+        outputStructType="band int, khash long, fid string, match_fid string",
+        stateStructType="fids array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -358,3 +358,27 @@ def test_lang_id_trigram_string_ids(spark):
     docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
     got = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id_trigram(docs).collect()}
     assert got == {"doc-a": "en", "doc-b": "es"}
+
+
+def test_embedding_clusters_transitive(spark):
+    """a~b and b~c cluster together even when a!~c (transitive closure);
+    unrelated vectors stay singletons labeled by their own id."""
+    import numpy as np
+
+    from libpostal_spark.operators import similarity
+
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.3), np.sin(0.3)])     # ~a (cos 0.955)
+    c = np.array([np.cos(0.6), np.sin(0.6)])     # ~b, not ~a at 0.93
+    d = np.array([0.0, 1.0])                      # unrelated
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate([a, b, c, d])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["component"], r["is_canonical"])
+        for r in similarity.embedding_clusters(df, threshold=0.93).collect()
+    }
+    assert got[0][0] == got[1][0] == got[2][0] == 0
+    assert got[0][1] is True and got[1][1] is False
+    assert got[3] == (3, True)

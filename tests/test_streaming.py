@@ -151,3 +151,59 @@ def test_windowed_ingest_stats(spark, tmp_path):
     assert 4 <= w1["n_distinct"] <= 6          # approx distinct of 5
     assert w1["dup_rate_est"] > 0.3
     spark.sql("drop view if exists win_stats")
+
+
+def test_stateful_near_dup_candidates(spark, tmp_path):
+    """Cross-batch LSH candidate alerts: a near-identical file arriving in a
+    LATER micro-batch must alert against the first batch's stored member."""
+    import pandas as pd
+
+    from libpostal_spark.config import PipelineConfig
+    from libpostal_spark.operators import blocking
+    from libpostal_spark.streaming import stateful_near_dup_candidates
+
+    cfg = PipelineConfig()
+    base = " ".join(f"tok{i} fill{i}" for i in range(80))
+    batches = [
+        [("r1", "a.py", "c", "py", base),
+         ("r9", "z.py", "c", "py", "totally unrelated words " * 20)],
+        [("r2", "b.py", "c", "py", base + " tiny change")],
+    ]
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    for rows in batches:
+        spark.createDataFrame(pd.DataFrame(rows, columns=cols)).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_near_dup_candidates(stream, cfg)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    out_rows = spark.read.parquet(sink).collect()
+
+    fids = {
+        r["path"]: r["fid"]
+        for r in blocking.with_ids(
+            spark.createDataFrame(
+                pd.DataFrame(batches[0] + batches[1], columns=cols)
+            )
+        ).collect()
+    }
+    pairs = {(r["fid"], r["match_fid"]) for r in out_rows}
+    # the later near-dup must alert against the first batch's copy
+    assert (fids["b.py"], fids["a.py"]) in pairs
+    # the unrelated file never pairs with anything
+    assert not any(
+        fids["z.py"] in p for p in pairs if p != (fids["z.py"], fids["z.py"])
+    )
