@@ -45,6 +45,9 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+_MAX_CLASS_CACHE: dict = {}
+
+
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libpostal_spark.operators import blocking
 
@@ -52,7 +55,16 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SIG_CACHE:
         files = dedup.docs_as_files(_docs(spark, sf_dir))
         sigs = blocking.signatures(files, _CFG).persist()
-        sigs.count()
+        # ONE action both materializes the cache and computes the largest
+        # sha256 class — the adaptive-plan gate dup_status_pairs needs —
+        # so no downstream query ever runs a separate gating agg
+        row = (
+            sigs.groupBy("sha256")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()
+        )
+        _MAX_CLASS_CACHE[key] = int(row[0]["m"] or 0)
         _SIG_CACHE[key] = sigs
     return _SIG_CACHE[key]
 
@@ -473,8 +485,13 @@ def _q_doc_clusters(spark, sf_dir):
 
 
 def _q_dup_status(spark, sf_dir):
+    sigs = _sigs(spark, sf_dir)
     return dedup.dup_status_pairs(
-        spark, _docs(spark, sf_dir), _CFG, signatures=_sigs(spark, sf_dir)
+        spark,
+        _docs(spark, sf_dir),
+        _CFG,
+        signatures=sigs,
+        max_class_size=_MAX_CLASS_CACHE[(_session_key(spark), sf_dir)],
     )
 
 

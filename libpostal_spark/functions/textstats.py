@@ -159,90 +159,90 @@ def lang_id_trigram(
     end-to-end, which is what lets the DuckDB oracle replay it
     value-for-value.
 
-    At scale: the model is a small (tri → lang) table — broadcast it; the
-    fit runs over a labeled sample, prediction over everything.
+    At scale: the model is a small (tri → lang) table bounded by the fit
+    sample's text volume — it is collected to the driver (exact Python-int
+    cross-multiplication, no width ceiling) and shipped back as an explicit
+    broadcast join; prediction runs over everything in ONE distributed pass.
+
+    Driver actions: exactly one — the fit-counts collect, which explodes
+    trigrams for the SAMPLE only (the sample filter is pushed below the
+    explode). The caller's action then runs the single full-corpus pass.
+    Nothing is persisted, so repeated invocations leak no executor cache.
     """
-    from pyspark.sql import Window
+    spark = docs.sparkSession
 
     lowered = docs.select(
         F.col(id_col),
         F.col(lang_col).alias("lang_label"),
         F.lower(F.col(text_col)).alias("t"),
     ).filter(F.length("t") >= 3)
-    tris = lowered.withColumn(
-        "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
-    ).select(
-        id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
-    )
-    # the trigram stream feeds BOTH the fit (counts) and the vote join —
-    # materialize once instead of re-exploding the corpus per consumer
-    tris = tris.persist()
 
-    # fit on a bounded, DETERMINISTIC document sample at scale (first
-    # fit_max_docs ids in sort order — reproducible, oracle-replayable);
-    # prediction still covers every document. At the sf0.01 compare scale
-    # the corpus is below the bound, so fit == full and the SQL twin's
-    # totals match exactly.
-    n_docs = docs.select(id_col).count()
-    fit_src = tris
-    if n_docs > fit_max_docs:
-        sample_ids = (
-            docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
+    def _explode_tris(frame):
+        return frame.withColumn(
+            "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
+        ).select(
+            id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
         )
-        fit_src = tris.join(F.broadcast(sample_ids), id_col)
 
-    counts = fit_src.groupBy("lang_label", "tri").agg(F.count("*").alias("cnt"))
-    totals = {
-        r["lang_label"]: int(r["n"])
-        for r in counts.groupBy("lang_label")
-        .agg(F.sum("cnt").alias("n"))
+    # fit on a bounded, DETERMINISTIC document sample (first fit_max_docs
+    # ids in sort order — reproducible, oracle-replayable). Applied
+    # unconditionally: when the corpus has <= fit_max_docs documents the
+    # sample IS the corpus, so no separate count action is ever needed, and
+    # at the sf0.01 compare scale fit == full and the SQL twin's totals
+    # match exactly. The sample join sits BELOW the explode, so the fit
+    # job's trigram fan-out is bounded by the sample's text volume no
+    # matter how large the corpus is.
+    sample_ids = docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
+    counts = (
+        _explode_tris(lowered.join(F.broadcast(sample_ids), id_col))
+        .groupBy("lang_label", "tri")
+        .agg(F.count("*").alias("cnt"))
         .collect()
-    }
-    langs = sorted(totals)
-    # cross-multiplied score: cnt_L * prod(totals of the OTHER languages)
-    # orders exactly like cnt_L / total_L (all positive integers)
+    )
+
+    # model fit is driver-side over the BOUNDED count table: per-language
+    # totals, then each trigram's profile language = argmax of
+    # cnt_L / total_L compared exactly via integer cross-multiplication
+    # (cnt_L × Π total_other — Python ints, arbitrary precision), ties to
+    # the lexicographically smaller language. Matches the DuckDB twin's
+    # HUGEINT replay bit-for-bit at compare scale.
+    totals: dict[str, int] = {}
+    for r in counts:
+        totals[r["lang_label"]] = totals.get(r["lang_label"], 0) + int(r["cnt"])
     prod_all = 1
     for v in totals.values():
         prod_all *= v
-    # multipliers exceed int64 at modest corpus sizes (prod of other
-    # languages' totals); ship them as DECIMAL STRING literals — F.lit on a
-    # >64-bit python int throws. decimal(38,0) bounds the scheme: with L
-    # languages, Π totals × max cnt must stay under 10^38 — fit the model
-    # on a bounded labeled sample beyond that (enforced below).
-    if prod_all * max(totals.values()) >= 10**38:
-        raise ValueError(
-            "lang_id_trigram: trigram totals too large for exact decimal(38) "
-            "cross-multiplication — fit on a smaller labeled sample"
-        )
-    mult_expr = "CASE lang_label " + " ".join(
-        f"WHEN '{lang}' THEN CAST('{prod_all // totals[lang]}' AS DECIMAL(38,0))"
-        for lang in langs
-    ) + " END"
-    scored = counts.withColumn(
-        "score", F.col("cnt").cast("decimal(38,0)") * F.expr(mult_expr)
+    best: dict[str, tuple[int, str]] = {}
+    for r in counts:
+        lang = r["lang_label"]
+        score = int(r["cnt"]) * (prod_all // totals[lang])
+        cur = best.get(r["tri"])
+        if cur is None or score > cur[0] or (score == cur[0] and lang < cur[1]):
+            best[r["tri"]] = (score, lang)
+    model_rows = [(tri, lang) for tri, (_, lang) in best.items()]
+    model = spark.createDataFrame(
+        model_rows or [("", "und")], "tri string, profile_lang string"
     )
-    w_tri = Window.partitionBy("tri").orderBy(
-        F.desc("score"), F.asc("lang_label")
-    )
-    model = (
-        scored.withColumn("rk", F.row_number().over(w_tri))
-        .filter(F.col("rk") == 1)
-        .select("tri", F.col("lang_label").alias("profile_lang"))
-    )
+    if not model_rows:
+        model = model.filter(F.lit(False))
 
-    votes = (
-        tris.join(model, "tri")
+    # one distributed pass over the FULL corpus: broadcast the model into
+    # the vote join; the majority vote with (v desc, lang asc) tie-break is
+    # a single min_by over (-v, lang) — no window sort
+    top = (
+        _explode_tris(lowered)
+        .join(F.broadcast(model), "tri")
         .groupBy(id_col, "profile_lang")
         .agg(F.count("*").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                "profile_lang",
+                F.struct((-F.col("v")).alias("nv"), F.col("profile_lang")),
+            ).alias("lang_pred")
+        )
     )
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.desc("v"), F.asc("profile_lang")
-    )
-    top = (
-        votes.withColumn("rk", F.row_number().over(w_doc))
-        .filter(F.col("rk") == 1)
-        .select(id_col, F.col("profile_lang").alias("lang_pred"))
-    )
+
     # join on the NATIVE id type — force-casting to long would null out
     # string doc ids and silently degrade every prediction to 'und'
     out = (

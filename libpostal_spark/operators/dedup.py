@@ -92,10 +92,11 @@ def dup_status_pairs(
     cfg: PipelineConfig | None = None,
     signatures: DataFrame | None = None,
     max_pairs_per_class: int = 10_000,
+    max_class_size: int | None = None,
 ) -> DataFrame:
     """Graded duplicate pairs — see ``dup_status_pairs_with_ledger``."""
     pairs, _ = dup_status_pairs_with_ledger(
-        spark, documents, cfg, signatures, max_pairs_per_class
+        spark, documents, cfg, signatures, max_pairs_per_class, max_class_size
     )
     return pairs
 
@@ -106,6 +107,7 @@ def dup_status_pairs_with_ledger(
     cfg: PipelineConfig | None = None,
     signatures: DataFrame | None = None,
     max_pairs_per_class: int = 10_000,
+    max_class_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Graded duplicate pairs: every pair with same sha256 or Jaccard >=
     cfg.jaccard_threshold, with the reference's 4-level status
@@ -152,12 +154,17 @@ def dup_status_pairs_with_ledger(
         F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
     ).select("fid1", "fid2", "jaccard", "status")
 
-    # adaptive plan pruning: one cheap agg over the (cached) signatures
-    # tells us the largest sha256 class; if even the WORST pairing that
-    # class could produce fits the cap, the whole cap machinery — class-size
-    # joins, capped/star branches, ledger — is pruned from the plan and the
-    # simple full-expansion shape is built instead (Catalyst time + runtime)
-    mx = members.agg(F.max("csize").alias("m")).collect()[0]["m"] or 0
+    # adaptive plan pruning: the largest sha256 class decides the plan
+    # shape; if even the WORST pairing that class could produce fits the
+    # cap, the whole cap machinery — class-size joins, capped/star
+    # branches, ledger — is pruned from the plan and the simple
+    # full-expansion shape is built instead (Catalyst time + runtime).
+    # Callers that already materialized the signatures (the session
+    # signature cache) pass max_class_size to skip this gating action.
+    if max_class_size is not None:
+        mx = max_class_size
+    else:
+        mx = members.agg(F.max("csize").alias("m")).collect()[0]["m"] or 0
     cap_possible = (
         mx * (mx - 1) // 2 > max_pairs_per_class
         or mx * mx > max_pairs_per_class
