@@ -38,6 +38,33 @@ _CFG = PipelineConfig()
 # the persisted frame. Keyed by (JVM session id, sf_dir).
 _SIG_CACHE: dict = {}
 
+# bounded cache lifecycle: a long harness session sweeping several sf_dirs
+# must not accumulate one persisted frame per (cache, sf_dir) forever. Each
+# cache keeps at most _CACHE_LIMIT live entries; inserting beyond that
+# unpersists and evicts the oldest entry of the SAME session (insertion
+# order), and entries from dead sessions (stale applicationId) are dropped
+# outright — their JVM, and with it every cached block, is already gone.
+_CACHE_LIMIT = 2
+
+
+def _cache_put(cache: dict, key: tuple, value, release=None) -> None:
+    app = key[0]
+    for k in [k for k in cache if k[0] != app]:
+        cache.pop(k, None)
+    cache[key] = value
+    keys = [k for k in cache if k[0] == app]
+    while len(keys) > _CACHE_LIMIT:
+        old = keys.pop(0)
+        v = cache.pop(old)
+        _MAX_CLASS_CACHE.pop(old, None)
+        try:
+            if release is not None:
+                release(v)
+            else:
+                v.unpersist()
+        except Exception:
+            pass
+
 
 def _session_key(spark: SparkSession) -> str:
     # applicationId is unique per SparkContext lifetime — unlike id() of a
@@ -65,7 +92,7 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         _MAX_CLASS_CACHE[key] = int(row[0]["m"] or 0)
-        _SIG_CACHE[key] = sigs
+        _cache_put(_SIG_CACHE, key, sigs)
     return _SIG_CACHE[key]
 
 
@@ -103,6 +130,139 @@ def _q_canonicalize_expanded(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         canon_udf(F.col("text")).alias("canon"),
     )
+
+
+# deterministic non-ASCII decoration for the transliteration query: the sf
+# corpora are all-ASCII, so exercising the Latin-ASCII fold requires
+# injecting accented/fold-table text. Each doc gets a suffix chosen by
+# doc_id % N; both the Spark query and the DuckDB twin append the same
+# suffix, so the fold itself (NFD+strip-marks+_LATIN_FOLD vs the
+# hand-derived SQL replace/translate map) is what the hash compares.
+_TRANSLIT_SUFFIXES = [
+    "Über straße",
+    "naïve café déjà vu",
+    "søren Ørsted øre",
+    "Þorvaldur þing ðelta",
+    "łódź ŁUKASZ",
+    "ÆtherCœur æon",
+    "señor niño mañana",
+    "ħello ŋame ıstanbul",
+]
+# hand-derived ASCII folds (NFD decomposition + combining-mark strip for
+# accents; _LATIN_FOLD for the non-decomposables). Multi-char folds need
+# replace(); 1:1 folds ride one translate().
+_TRANSLIT_MULTI = [("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("œ", "oe"),
+                   ("Þ", "TH"), ("þ", "th")]
+_TRANSLIT_ONE = [
+    ("Ü", "U"), ("ü", "u"), ("é", "e"), ("à", "a"), ("ï", "i"),
+    ("ø", "o"), ("Ø", "O"), ("ð", "d"), ("ł", "l"), ("Ł", "L"),
+    ("ó", "o"), ("ź", "z"), ("ñ", "n"), ("ħ", "h"), ("ŋ", "n"), ("ı", "i"),
+]
+
+
+def _translit_suffix_col():
+    arr = F.array(*[F.lit(s) for s in _TRANSLIT_SUFFIXES])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_TRANSLIT_SUFFIXES)))
+        + 1
+    ).cast("int")
+    return F.element_at(arr, idx)
+
+
+def _q_canonicalize_translit(spark, sf_dir):
+    """Canonicalization with Latin-ASCII transliteration ON (the CLDR
+    Latin-ASCII analog, core/canonicalize.py latin_ascii_fold_one), over
+    text decorated with deterministic non-ASCII suffixes."""
+    canon_udf = make_canonicalize_udf(transliterate=True)
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canon_udf(
+            F.concat(F.col("text"), F.lit(" "), _translit_suffix_col())
+        ).alias("canon"),
+    )
+
+
+def _translit_sql() -> str:
+    """DuckDB twin: same suffix decoration, then the hand-derived fold map
+    (replace chain for multi-char folds + one translate for 1:1 accents)
+    feeding the shared canon expression. The fold map is hand-maintained
+    against the suffix alphabet — a fold-table or NFD-strip bug in the
+    Spark path breaks the hash."""
+    n = len(_TRANSLIT_SUFFIXES)
+    suffix = (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(s)}"
+            for i, s in enumerate(_TRANSLIT_SUFFIXES)
+        )
+        + " END"
+    )
+    composed = f"(text || ' ' || {suffix})"
+    folded = composed
+    for a, b in _TRANSLIT_MULTI:
+        folded = f"replace({folded}, {_sql_quote(a)}, {_sql_quote(b)})"
+    frm = "".join(a for a, _ in _TRANSLIT_ONE)
+    to = "".join(b for _, b in _TRANSLIT_ONE)
+    folded = f"translate({folded}, {_sql_quote(frm)}, {_sql_quote(to)})"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_canon_expr(folded)} AS canon
+        FROM documents
+    """
+
+
+# numex goldens: (phrase, hand-derived fold through the canonicalizer with
+# fold_spelled_numbers=True, fold_roman=True). The expected strings were
+# derived BY HAND from the reference's composition rules (multiplier
+# groups, terminal ordinals, swallowed "and", 19|84 tens-split, strict
+# subtractive Roman) — not by running the implementation — so the oracle
+# CASE is an independent check of core/numex.py end-to-end through the UDF.
+_NUMEX_PHRASES = [
+    ("three hundred twenty one items", "321 items"),
+    ("nineteen eighty four", "19 84"),
+    ("one hundred and two", "102"),
+    ("seven thousand five hundred", "7500"),
+    ("twenty first street", "21 street"),
+    ("zero warnings found", "0 warnings found"),
+    ("no numbers in this phrase", "no numbers in this phrase"),
+    ("two million three", "2000003"),
+    ("one two three", "1 2 3"),
+    ("sixty six degrees north", "66 degrees north"),
+    ("the fifth element", "the 5 element"),
+    ("four score and seven years", "4 score and 7 years"),
+    ("thirty thousandth time", "30000 time"),
+    ("chapter xiv section iv", "chapter 14 section 4"),
+]
+
+
+def _q_numex_fold(spark, sf_dir):
+    """numex spelled-number + Roman folding through the canonicalize UDF:
+    each doc folds a deterministic golden phrase (doc_id % K)."""
+    udf = make_canonicalize_udf(fold_spelled_numbers=True, fold_roman=True)
+    arr = F.array(*[F.lit(p) for p, _ in _NUMEX_PHRASES])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_NUMEX_PHRASES))) + 1
+    ).cast("int")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        udf(F.element_at(arr, idx)).alias("folded"),
+    )
+
+
+def _numex_sql() -> str:
+    n = len(_NUMEX_PHRASES)
+    case = (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(out)}"
+            for i, (_, out) in enumerate(_NUMEX_PHRASES)
+        )
+        + " END"
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {case} AS folded
+        FROM documents
+    """
 
 
 def _q_expansion_counts(spark, sf_dir):
@@ -280,7 +440,7 @@ def _ann_sigs(spark, sf_dir, dim: int):
             n_tables=_ANN["n_tables"], n_bits=_ANN["n_bits"], seed=_ANN["seed"],
         ).persist()
         sigs.count()
-        _ANN_SIG_CACHE[key] = sigs
+        _cache_put(_ANN_SIG_CACHE, key, sigs)
     return _ANN_SIG_CACHE[key]
 
 
@@ -398,7 +558,7 @@ def _sigs_sha(spark, sf_dir):
         files = dedup.docs_as_files(_docs(spark, sf_dir))
         sigs = blocking.signatures(files, _cfg_sha(), emit_minhash=True).persist()
         sigs.count()
-        _SIG_SHA_CACHE[key] = sigs
+        _cache_put(_SIG_SHA_CACHE, key, sigs)
     return _SIG_SHA_CACHE[key]
 
 
@@ -473,7 +633,12 @@ def _q_lsh_candidates(spark, sf_dir):
         keys = blocking.blocking_keys(rep_sigs, cfg)
         # keep the cache handle referenced so repeated invocations reuse ONE
         # materialized bucket window instead of leaking a new one per call
-        _PAIRS_CACHE[key] = blocking.candidate_pairs(keys, cfg)
+        _cache_put(
+            _PAIRS_CACHE,
+            key,
+            blocking.candidate_pairs(keys, cfg),
+            release=lambda v: v[2] is not None and v[2].unpersist(),
+        )
     pairs, _, _ = _PAIRS_CACHE[key]
     return pairs.select("fid1", "fid2", "source")
 
@@ -545,6 +710,62 @@ def _q_dedup_rate(spark, sf_dir):
             F.lit(1.0) - F.countDistinct(fp).cast("double") / F.count("*"), 4
         ).alias("dup_rate"),
     )
+
+
+def _q_streaming_window_stats(spark, sf_dir):
+    """REAL Structured-Streaming execution oracle-checked end-to-end: the
+    events table is read as a file STREAM (availableNow), windowed by event
+    time through streaming.windowed_event_stats, written to a memory sink
+    in complete mode, and the final table is compared against a batch
+    DuckDB window/agg twin. Deterministic because the count/exact-distinct/
+    decimal-sum aggregates are order-independent (see the operator
+    docstring)."""
+    import uuid
+
+    from libpostal_spark import streaming as ST
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source needs a DIRECTORY basePath; events.parquet is
+    # a single file inside the shared sf_dir, so stream the dir with a
+    # filename glob selecting only the events table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # the parquet ts column is TIMESTAMP_NTZ; event-time watermarks require
+    # TIMESTAMP — with the session pinned to UTC the cast is value-identity
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ST.windowed_event_stats(src)
+    name = f"win_stats_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+_STREAM_WINDOW_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+"""
 
 
 def _q_media_features(spark, sf_dir):
@@ -627,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
         "canonicalize_expanded": _q_canonicalize_expanded,
+        "canonicalize_translit": _q_canonicalize_translit,
+        "numex_fold": _q_numex_fold,
         "expansion_counts": _q_expansion_counts,
         "exact_dup_groups": _q_exact_dup_groups,
         "doc_fingerprint": _q_fingerprint,
@@ -650,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dedup_clusters": _q_code_clusters,
         "media_decode_features": _q_media_features,
         "media_real_decode": _q_media_real_decode,
+        "streaming_window_stats": _q_streaming_window_stats,
         "token_freq_topk": _q_token_freq_topk,
         "source_length_stats": _q_source_length_stats,
         "dedup_rate": _q_dedup_rate,
@@ -1018,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "canonicalize": _CANON_SQL,
         "canonicalize_expanded": _expanded_canon_sql(),
+        "canonicalize_translit": _translit_sql(),
+        "numex_fold": _numex_sql(),
         "expansion_counts": _expansion_counts_sql(),
         "exact_dup_groups": """
             SELECT sha256(text) AS group_sha,
@@ -1218,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(sha256(text), 7, 2))::INT - 128) / 128.0, 4) AS f3
             FROM documents
         """,
+        "streaming_window_stats": _STREAM_WINDOW_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

@@ -58,11 +58,18 @@ def input_fingerprint(files: DataFrame) -> str:
     what keeps two DIFFERENT frames over the same files apart: a filtered,
     limited, or projected read must never resume the unfiltered run's
     checkpoints (same stale-serve class the content scan prevented).
-    Any rewrite (even byte-identical) changes mtime and invalidates:
-    recompute-on-doubt is the safe direction. ``file:`` URIs stat through
-    ``os.stat`` (C-speed, no per-file JVM round-trips); other filesystems
-    stat through the Hadoop layer, falling back to the content scan above
+    A rewrite invalidates when it changes (size, mtime_ns): the full
+    nanosecond mtime is hashed, so only a same-size rewrite landing within
+    the FILESYSTEM's mtime resolution (coarse-mtime mounts) can alias — on
+    a nanosecond-resolution filesystem that window is practically zero,
+    but it is a caveat, not an absolute guarantee; recompute-on-doubt
+    remains the safe direction for anything stronger (the Iceberg snapshot
+    id is the principled fix). ``file:`` URIs stat through ``os.stat``
+    (C-speed, no per-file JVM round-trips); other filesystems stat through
+    the Hadoop layer, falling back to the content scan above
     ``_META_MAX_FILES`` files where per-file driver RPCs would dominate.
+    A file that vanishes between listing and stat falls through to the
+    content scan instead of crashing the resume.
 
     Fallback — CONTENT: frames with no file lineage (in-memory test data,
     views) get the original one-scan xor-folded xxhash64 over every column,
@@ -85,24 +92,29 @@ def input_fingerprint(files: DataFrame) -> str:
     local = paths and all(p.startswith("file:") for p in paths)
     if paths and (local or len(paths) <= _META_MAX_FILES):
         h = hashlib.sha256(plan.encode())
-        if local:
-            for p in paths:
-                st = _os.stat(unquote(urlparse(p).path))
-                h.update(
-                    f"{p}\x00{st.st_size}\x00{st.st_mtime_ns // 1_000_000}\n".encode()
-                )
-        else:
-            spark = files.sparkSession
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            for p in paths:
-                jpath = jvm.org.apache.hadoop.fs.Path(p)
-                fs = jpath.getFileSystem(conf)
-                st = fs.getFileStatus(jpath)
-                h.update(
-                    f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
-                )
-        return f"meta:{len(paths)}:{h.hexdigest()[:16]}"
+        try:
+            if local:
+                for p in paths:
+                    st = _os.stat(unquote(urlparse(p).path))
+                    h.update(
+                        f"{p}\x00{st.st_size}\x00{st.st_mtime_ns}\n".encode()
+                    )
+            else:
+                spark = files.sparkSession
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                for p in paths:
+                    jpath = jvm.org.apache.hadoop.fs.Path(p)
+                    fs = jpath.getFileSystem(conf)
+                    st = fs.getFileStatus(jpath)
+                    h.update(
+                        f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
+                    )
+            return f"meta:{len(paths)}:{h.hexdigest()[:16]}"
+        except Exception:
+            # a listed file vanished (or a stat RPC failed) mid-fingerprint:
+            # fall through to the content scan rather than crash the resume
+            pass
     row = files.agg(
         F.count("*").alias("c"),
         F.coalesce(F.expr("bit_xor(xxhash64(*))"), F.lit(0)).alias("h"),

@@ -66,12 +66,52 @@ _LATIN_FOLD = {
     "ł": "l", "Ł": "L", "þ": "th", "Þ": "TH", "ð": "d", "Ð": "D",
     "ŋ": "n", "Ŋ": "N", "ı": "i", "ĸ": "k", "ŧ": "t", "Ŧ": "T",
 }
-_FOLD_TRANS = str.maketrans(_LATIN_FOLD)
+
+# Cyrillic → Latin (public BGN/PCGN-style romanization, simplified) and
+# Greek → Latin (public ISO 843-style), the per-script increment over the
+# Latin-ASCII transform (reference analog: the per-script CLDR transforms,
+# /root/reference/src/transliterate.c:669 + script detection
+# src/unicode_scripts.c:20). Uppercase multi-char folds use title case
+# ("Ж"→"Zh") so folded identifiers keep sane camel boundaries. Hard/soft
+# signs fold to nothing; й is TABLE-folded to y before NFD decomposition
+# would strip its breve down to и.
+_CYRILLIC_FOLD = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "yo",
+    "ж": "zh", "з": "z", "и": "i", "й": "y", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E", "Ё": "Yo",
+    "Ж": "Zh", "З": "Z", "И": "I", "Й": "Y", "К": "K", "Л": "L", "М": "M",
+    "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T", "У": "U",
+    "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch", "Ш": "Sh", "Щ": "Shch",
+    "Ъ": "", "Ы": "Y", "Ь": "", "Э": "E", "Ю": "Yu", "Я": "Ya",
+}
+_GREEK_FOLD = {
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "i",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "o",
+    "Α": "A", "Β": "V", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z", "Η": "I",
+    "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M", "Ν": "N", "Ξ": "X",
+    "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T", "Υ": "Y",
+    "Φ": "F", "Χ": "Ch", "Ψ": "Ps", "Ω": "O",
+}
+_FOLD_TRANS = str.maketrans({**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD})
 
 
 def latin_ascii_fold_one(s: str) -> str:
-    """Latin-ASCII transliteration of one string: NFD-decompose, strip
-    combining marks, fold the non-decomposable Latin letters."""
+    """Latin-ASCII transliteration of one string: fold table (Latin
+    non-decomposables + Cyrillic + Greek base letters), NFD-decompose,
+    strip combining marks, fold again.
+
+    The table runs BOTH before and after decomposition: before, so
+    precomposed table entries win over their decompositions (й → y, not
+    и-breve → i); after, so accented NON-table forms decompose down to a
+    base letter the table can then fold (ά → α → a, ё́-like stacks, Latin
+    é → e needs no entry at all). Outputs are ASCII, so the second pass is
+    idempotent on anything the first already folded."""
+    s = s.translate(_FOLD_TRANS)
     d = unicodedata.normalize("NFD", s)
     d = "".join(ch for ch in d if not unicodedata.combining(ch))
     return d.translate(_FOLD_TRANS)

@@ -161,7 +161,9 @@ def _lcs_tokens(a: list, b: list) -> int:
     return best
 
 
-def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Series:
+def pair_lcs_batch(
+    c1: pd.Series, c2: pd.Series, cfg: PipelineConfig, with_flags: bool = False
+):
     """Verified shared-run length per aligned canon-string pair (vectorized).
 
     Returns, per pair, the length of a maximal common token run of at least
@@ -176,13 +178,25 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
     verified run — the property verify's confirm rule consumes. The pure-Python
     suffix-automaton ``_lcs_tokens`` (exact global LCS) cross-checks this in
     tests; it is ~10ms/pair and was the confirm-stage bottleneck.
+
+    ``with_flags=True`` returns a DataFrame (run, exhausted) instead of the
+    bare run series: ``exhausted`` marks pairs whose alignment budget ran
+    out before every candidate alignment was tried, so a (theoretical)
+    adversarial pair of thousands of repeated sub-bar blocks that
+    under-reports its max run is VISIBLE data, not a silent cap — the
+    per-pair analog of the bucket_stats ledger.
     """
     from . import hashing as H
 
     n = len(c1)
     W = cfg.winnow_window
     if n == 0:
-        return pd.Series([], dtype="int32")
+        empty = pd.Series([], dtype="int32")
+        if with_flags:
+            return pd.DataFrame(
+                {"run": empty, "exhausted": pd.Series([], dtype=bool)}
+            )
+        return empty
     all_canon = pd.concat([c1, c2], ignore_index=True).fillna("")
     uniq, inv = np.unique(all_canon.to_numpy(dtype=object), return_inverse=True)
     flat, lengths = tokenize_flat(pd.Series(uniq, dtype=object), cfg.seed, cfg.hash_mode)
@@ -201,15 +215,16 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
 
     target = cfg.winnow_guarantee
 
-    def run_len(i1: int, i2: int) -> int:
-        """MAX verified common-run length (early-exit once >= the accept
-        bar). A pair can carry several distinct runs — e.g. a 120-token and
-        a 200-token clone — and the confirm rule needs the maximum, not the
-        run around whichever window hash sorts first. Verified spans are
-        tracked so co-run window matches aren't re-extended."""
+    def run_len(i1: int, i2: int) -> tuple[int, bool]:
+        """(MAX verified common-run length, budget-exhausted flag); early
+        exit once the length reaches the accept bar. A pair can carry
+        several distinct runs — e.g. a 120-token and a 200-token clone —
+        and the confirm rule needs the maximum, not the run around
+        whichever window hash sorts first. Verified spans are tracked so
+        co-run window matches aren't re-extended."""
         sa, sb = sorteds[i1], sorteds[i2]
         if len(sa) == 0 or len(sb) == 0:
-            return 0
+            return 0, False
         a, b = toks[i1], toks[i2]
         best = 0
         # ALL window-hash matches, not just intersect1d's first-occurrence
@@ -235,7 +250,7 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
             pa = int(orders[i1][m])
             for bm in range(int(lo_idx[m]), int(hi_idx[m])):
                 if budget <= 0:
-                    return best
+                    return best, True
                 budget -= 1
                 pb = int(orders[i2][bm])
                 diag = pb - pa
@@ -260,17 +275,20 @@ def pair_lcs_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Seri
                 covered.setdefault(diag, []).append((pa - lo, pa + hi))
                 best = max(best, lo + hi)
                 if best >= target:
-                    return best                # decision-sufficient
-        return best
+                    return best, False         # decision-sufficient
+        return best, False
 
     i1s, i2s = inv[:n], inv[n:]
-    cache: dict[tuple[int, int], int] = {}
+    cache: dict[tuple[int, int], tuple[int, bool]] = {}
     out = np.empty(n, dtype=np.int32)
+    exhausted = np.zeros(n, dtype=bool)
     for i in range(n):
         key = (int(i1s[i]), int(i2s[i]))
         if key not in cache:
             cache[key] = run_len(*key)
-        out[i] = cache[key]
+        out[i], exhausted[i] = cache[key]
+    if with_flags:
+        return pd.DataFrame({"run": out, "exhausted": exhausted})
     return pd.Series(out)
 
 

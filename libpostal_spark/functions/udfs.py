@@ -48,12 +48,16 @@ def make_canonicalize_udf(
     expansions: dict[str, str] | None = None,
     fold_numbers: bool = False,
     transliterate: bool = False,
+    fold_spelled_numbers: bool = False,
+    fold_roman: bool = False,
 ):
     """content:string -> canon:string (vectorized; analog of
     expand_address_root, /root/reference/src/expand.c:1653-1655). Pass an
     expansion dictionary (single tokens and multi-token phrases; see
     libpostal_spark.dictionaries) to fold abbreviation variants, the analog
-    of dictionary-driven expansion in expand_address."""
+    of dictionary-driven expansion in expand_address; transliterate /
+    fold_spelled_numbers / fold_roman switch on the Latin-ASCII and numex
+    stages (same flags as PipelineConfig)."""
 
     @F.pandas_udf(T.StringType())
     def canonicalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -63,6 +67,8 @@ def make_canonicalize_udf(
                 expansions=expansions,
                 fold_numbers=fold_numbers,
                 transliterate=transliterate,
+                fold_spelled_numbers=fold_spelled_numbers,
+                fold_roman=fold_roman,
             )
 
     return canonicalize_udf
@@ -145,13 +151,16 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
     substring verifier (pair_lcs_batch: rolling-window hash intersect +
     exact token verify + extension) for the rows that need it — winnow hits
     whose jaccard is below the confirm threshold. lcs_tokens = -1 marks rows
-    where the run check was skipped. Fused because two chained pandas UDFs
+    where the run check was skipped; lcs_exhausted marks rows whose
+    alignment budget ran out (truncated verification is visible data — the
+    no-silent-caps contract). Fused because two chained pandas UDFs
     would ship every pair's canon strings across the Arrow boundary twice.
     """
     schema = T.StructType(
         [
             T.StructField("jaccard", T.DoubleType()),
             T.StructField("lcs_tokens", T.IntegerType()),
+            T.StructField("lcs_exhausted", T.BooleanType()),
         ]
     )
 
@@ -162,13 +171,18 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
         for c1, c2, hit in it:
             jac = pair_jaccard_batch(c1, c2, cfg)
             lcs = pd.Series(np.full(len(c1), -1, dtype=np.int32))
+            exh = pd.Series(np.zeros(len(c1), dtype=bool))
             need = (
                 (jac < cfg.jaccard_threshold).to_numpy()
                 & hit.fillna(False).to_numpy(dtype=bool)
             )
             if need.any():
-                lcs[need] = pair_lcs_batch(c1[need], c2[need], cfg).to_numpy()
-            yield pd.DataFrame({"jaccard": jac, "lcs_tokens": lcs})
+                res = pair_lcs_batch(c1[need], c2[need], cfg, with_flags=True)
+                lcs[need] = res["run"].to_numpy()
+                exh[need] = res["exhausted"].to_numpy()
+            yield pd.DataFrame(
+                {"jaccard": jac, "lcs_tokens": lcs, "lcs_exhausted": exh}
+            )
 
     return pair_confirm_udf
 

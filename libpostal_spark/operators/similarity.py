@@ -66,9 +66,20 @@ def cosine_pairs(
     n_tables: int = 8,
     n_bits: int = 4,
     seed: int = 42,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1 < id2, cos_sim) with
     cos >= threshold.
+
+    ``method`` makes the exact/approximate contract explicit:
+
+    * ``"exact"`` — always the exact path; raises ValueError above
+      max_exact_rows instead of degrading recall behind the caller's back.
+    * ``"lsh"`` — always the bucketed approximate path.
+    * ``"auto"`` (default) — route by corpus size as below, emitting a
+      ``UserWarning`` when the size cap flips the result from exact to
+      approximate (pairs sharing no LSH table key are dropped), so the
+      switch is never silent.
 
     Two physical strategies, routed by corpus size:
 
@@ -89,9 +100,32 @@ def cosine_pairs(
     can't be read off the first embedding (the LSH path needs the plane
     shapes before any action).
     """
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"cosine_pairs: unknown method {method!r}")
+    if method == "lsh":
+        return cosine_pairs_bucketed(
+            embeddings, threshold, id_col=id_col, dim=dim,
+            n_tables=n_tables, n_bits=n_bits, seed=seed,
+        )
     if n_rows is None:
         n_rows = embeddings.count()
     if n_rows > max_exact_rows:
+        if method == "exact":
+            raise ValueError(
+                f"cosine_pairs(method='exact'): {n_rows} rows exceed "
+                f"max_exact_rows={max_exact_rows}; use method='lsh' (or "
+                "raise the cap) — refusing to silently degrade recall"
+            )
+        import warnings
+
+        warnings.warn(
+            f"cosine_pairs: {n_rows} rows > max_exact_rows="
+            f"{max_exact_rows}; routing to the APPROXIMATE LSH-bucketed "
+            "path (pairs sharing no LSH table key are dropped). Pass "
+            "method='exact'/'lsh' to pin the strategy.",
+            UserWarning,
+            stacklevel=2,
+        )
         return cosine_pairs_bucketed(
             embeddings, threshold, id_col=id_col, dim=dim,
             n_tables=n_tables, n_bits=n_bits, seed=seed,
@@ -265,6 +299,9 @@ def embedding_clusters(
     id_col: str = "vec_id",
     max_exact_rows: int = 200_000,
     cc_driver_max_edges: int = 2_000_000,
+    n_rows: int | None = None,
+    dim: int | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate CLUSTERING: cosine_pairs edges →
     connected components → (vec_id, component, is_canonical), the embedding
@@ -276,7 +313,8 @@ def embedding_clusters(
     from . import cluster
 
     pairs = cosine_pairs(
-        embeddings, threshold, id_col=id_col, max_exact_rows=max_exact_rows
+        embeddings, threshold, id_col=id_col, max_exact_rows=max_exact_rows,
+        n_rows=n_rows, dim=dim, method=method,
     ).select(
         F.col("vec_id1").cast("string").alias("fid1"),
         F.col("vec_id2").cast("string").alias("fid2"),

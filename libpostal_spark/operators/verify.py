@@ -35,13 +35,22 @@ from ..config import PipelineConfig
 
 
 def verified_pairs(
-    pairs: DataFrame, rep_sigs: DataFrame, cfg: PipelineConfig
-) -> DataFrame:
+    pairs: DataFrame, rep_sigs: DataFrame, cfg: PipelineConfig,
+    with_graded: bool = False,
+):
     """Join shingle/winnow sets onto each side and confirm.
 
-    Output: fid1, fid2, jaccard, source, sources (kind provenance).
-    The two joins shuffle on fid — at scale, rep_sigs is bucketed by fid so
-    both probes co-locate; AQE handles residual skew.
+    Output: fid1, fid2, jaccard, source, sources (kind provenance),
+    lcs_tokens, lcs_exhausted, status. The two joins shuffle on fid — at
+    scale, rep_sigs is bucketed by fid so both probes co-locate; AQE
+    handles residual skew.
+
+    ``with_graded=True`` additionally returns the PRE-filter graded frame
+    ``(confirmed, graded)``: an adversarial pair whose alignment budget was
+    exhausted AND whose under-reported run fell below the confirm bar is
+    absent from ``confirmed`` by construction — auditing for that case is
+    ``graded.filter("lcs_exhausted AND lcs_tokens < bar")``, which makes
+    the one theoretically-silent truncation in the confirm rule queryable.
     """
     from ..functions.udfs import make_pair_confirm_udf
 
@@ -74,16 +83,25 @@ def verified_pairs(
             "fid1", "fid2", "source", "sources",
             F.col("c.jaccard").alias("jaccard"),
             F.col("c.lcs_tokens").alias("lcs_tokens"),
+            F.col("c.lcs_exhausted").alias("lcs_exhausted"),
         )
     )
     confirmed = graded.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
         | (F.col("lcs_tokens") >= F.lit(cfg.winnow_guarantee))
     )
-    return confirmed.select(
+    # lcs_exhausted is carried on every confirmed row: a pair whose run
+    # verification hit the alignment budget (and may therefore under-report
+    # lcs_tokens) is visible to consumers/metrics rather than silently
+    # graded — the per-pair analog of the bucket_stats ledger
+    confirmed = confirmed.select(
         "fid1", "fid2", "jaccard", "source", "sources", "lcs_tokens",
+        "lcs_exhausted",
         status_expr(F.col("jaccard"), cfg).alias("status"),
     )
+    if with_graded:
+        return confirmed, graded
+    return confirmed
 
 
 # 4-level duplicate status, mirroring libpostal_duplicate_status_t

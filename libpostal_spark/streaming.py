@@ -154,6 +154,47 @@ def windowed_ingest_stats(
     )
 
 
+def windowed_event_stats(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic event-stream windowed aggregation (the events-table analog
+    of ``windowed_ingest_stats``): per event-time window — event count,
+    EXACT distinct users (size(collect_set): streaming forbids
+    count(DISTINCT); the set state is bounded by users-per-window — swap in
+    approx_count_distinct at hyperscale), and an exact decimal value sum
+    (decimal, not double: float partial-agg order would make the result
+    run-dependent, decimal addition is associative so the streamed result
+    is bit-equal to any batch replay — which is what lets the harness
+    oracle this operator).
+
+    Run with outputMode="complete" + availableNow for the deterministic
+    full-table contract (the oracle-checked path); append + watermark gives
+    the finalize-once incremental contract (pytest-covered for
+    windowed_ingest_stats, same mechanics).
+    """
+    src = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return (
+        src.groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.size(F.collect_set(F.col(user_col))).alias("n_users"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
 def stateful_near_dup_candidates(
     stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32
 ) -> DataFrame:
@@ -196,7 +237,11 @@ def stateful_near_dup_candidates(
                 if m != fid:
                     out_fid.append(fid)
                     out_match.append(m)
-            if len(stored) < max_state_fids:
+            # membership guard: a fid re-arriving in a later micro-batch
+            # must not occupy a second bounded-state slot or re-alert
+            # every subsequent arrival twice (stored is <= max_state_fids
+            # entries, so the linear scan is fine)
+            if len(stored) < max_state_fids and fid not in stored:
                 stored.append(fid)
         state.update((stored,))
         if out_fid:

@@ -95,6 +95,34 @@ def test_latin_ascii_transliteration_goldens():
         assert got == want, f"{src!r}: {got!r} != {want!r}"
 
 
+def test_cyrillic_greek_transliteration_goldens():
+    """Per-script increment (reference analog: per-script CLDR transforms,
+    /root/reference/src/transliterate.c:669): Cyrillic (BGN/PCGN-style)
+    and Greek (ISO 843-style) identifiers romanize under the same
+    transliterate flag, so source text in those scripts cross-matches its
+    romanized twin."""
+    cases = [
+        # Cyrillic: multi-char folds, title-case camel interplay, signs drop
+        ("привет мир", "privet mir"),
+        ("Жук_Щука", "zhuk shchuka"),
+        ("объект = подъезд", "obekt = podezd"),
+        ("йод ёлка", "yod yolka"),                 # й table-folds to y, not i
+        ("ЦенаChecker", "tsena checker"),
+        ("хорошо Чай", "khorosho chay"),
+        # Greek: ISO 843-ish, tonos strips via NFD then table folds
+        ("αλφα βητα", "alfa vita"),
+        ("Ψυχή_λόγος", "psychi logos"),
+        ("Θεός χάος", "theos chaos"),
+        ("μικρός", "mikros"),
+    ]
+    for src, want in cases:
+        got = canonicalize_one(src, transliterate=True)
+        assert got == want, f"{src!r}: {got!r} != {want!r}"
+    # cross-script dup detection: romanized and native spellings merge
+    assert canonicalize_one("функция getValue", transliterate=True) == \
+        canonicalize_one("funktsiya getValue", transliterate=True)
+
+
 def test_transliteration_merges_accent_variants():
     """The point of the fold: accented and plain spellings of the same
     identifier must canonicalize identically (dup detection across them)."""

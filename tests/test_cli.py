@@ -113,8 +113,12 @@ assert rc == 0
 def test_cli_iceberg_requires_runtime_jar(tmp_path):
     """Pin the sandbox limitation exactly: --format iceberg reaches Spark's
     data-source resolution and fails there because no iceberg-spark-runtime
-    jar ships in this environment. On a cluster with the jar + catalog conf
-    this same code path reads/writes Iceberg tables."""
+    jar ships in this environment. Vendoring the jar was attempted and is
+    BLOCKED by the sandbox itself: no package installs are permitted and
+    the sandbox has no network route (DNS resolution to Maven Central
+    fails — verified 2026-08-17, `curl: Could not resolve host:
+    repo1.maven.org`). On a cluster with the jar + catalog conf this same
+    code path reads/writes Iceberg tables."""
     env = dict(os.environ, PYTHONPATH=REPO)
     proc = subprocess.run(
         [sys.executable, "-m", "libpostal_spark",

@@ -119,6 +119,62 @@ def test_verify_winnow_check_is_jvm_side(spark, cfg):
     assert "pair_jaccard_udf" not in plan    # no second chained Arrow pass
 
 
+def test_cosine_pairs_scale_route_plan(spark):
+    """Above max_exact_rows the auto route must produce the DISTRIBUTED
+    LSH-bucketed plan: a key self-join with no driver-collected relation
+    (the exact path's broadcast matrix + MapInPandas must be absent), at
+    most one logical LSH-key exchange pair, and the Arrow pair-cosine
+    re-rank present. Also pins the explicit-contract API: method='exact'
+    refuses instead of silently degrading recall."""
+    import warnings
+
+    import numpy as np
+
+    from libpostal_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    with pytest.raises(ValueError, match="exact"):
+        similarity.cosine_pairs(
+            embs, 0.9, max_exact_rows=10, n_rows=40, method="exact"
+        )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = similarity.cosine_pairs(
+            embs, 0.9, max_exact_rows=10, n_rows=40, dim=8
+        )
+        assert any("APPROXIMATE" in str(x.message) for x in w)
+
+    plan = _plan(pairs)
+    assert "MapInPandas" not in plan, plan       # exact path's kernel absent
+    assert "ArrowEvalPython" in plan, plan       # pair re-rank is Arrow UDF
+    assert re.search(r"Join|ShuffledHashJoin|SortMergeJoin", plan), plan
+    key_exchanges = {
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\(key[^\n]*plan_id=(\d+)", plan)
+    }
+    assert len(key_exchanges) <= 2, plan
+
+    # the clusters route shares the same pair plan above the cap
+    labels = similarity.embedding_clusters(
+        embs, 0.9, max_exact_rows=10, n_rows=40, dim=8
+    )
+    cplan = _plan(labels)
+    assert "MapInPandas" not in cplan, cplan
+
+    # both routes agree on the actual pairs at this scale (recall here is
+    # exact because 8-dim vectors repeat across the LSH tables)
+    exact = similarity.cosine_pairs(embs, 0.9, n_rows=40, method="exact")
+    got = {(r[0], r[1]) for r in pairs.collect()}
+    want = {(r[0], r[1]) for r in exact.collect()}
+    assert want, "fixture must produce at least one qualifying pair"
+    assert got == want or np.mean([p in got for p in want]) >= 0.9
+
+
 def test_ann_bruteforce_single_stage(spark):
     """cosine top-k is a pure column expression + TakeOrderedAndProject —
     no Python, no join, one scan."""
