@@ -419,6 +419,49 @@ def _q_token_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), adjacent_only=True)
 
 
+_STRSIM_MAXLEN = 32
+
+
+def _q_string_similarity(spark, sf_dir):
+    """Classic string-similarity trio over adjacent doc pairs' 32-char
+    prefixes: Levenshtein, unrestricted Damerau-Levenshtein, Jaro-Winkler
+    (reference analogs src/damerau_levenshtein.c, src/jaro.c). jw is
+    emitted as floor(jw*10000) — bit-deterministic against DuckDB's
+    built-in (kernels verified bit-equal on 5k fuzz pairs)."""
+    from libpostal_spark.functions.udfs import make_strsim_udf
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("text", 1, _STRSIM_MAXLEN).alias("s"),
+    )
+    a = docs.select(F.col("doc_id").alias("doc_id1"), F.col("s").alias("s1"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id1"),
+                    F.col("doc_id").alias("doc_id2"), F.col("s").alias("s2"))
+    udf = make_strsim_udf(_STRSIM_MAXLEN)
+    return (
+        a.join(b, "doc_id1")
+        .withColumn("m", udf(F.col("s1"), F.col("s2")))
+        .select(
+            "doc_id1", "doc_id2",
+            F.col("m.lev").alias("lev"),
+            F.col("m.dl").alias("dl"),
+            F.floor(F.col("m.jw") * 10000).cast("long").alias("jw_e4"),
+        )
+    )
+
+
+_STRSIM_SQL = f"""
+    WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      substr(text, 1, {_STRSIM_MAXLEN}) AS s
+               FROM documents)
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev,
+           CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl,
+           CAST(floor(jaro_winkler_similarity(a.s, b.s) * 10000) AS BIGINT) AS jw_e4
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def _q_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -739,14 +782,23 @@ def _q_streaming_window_stats(spark, sf_dir):
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     out = ST.windowed_event_stats(src)
     name = f"win_stats_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # one availableNow batch over one file: 32 shuffle partitions would
+    # spin up 32 state stores for a few hundred windows — run the stateful
+    # agg at 8 and restore the session conf once the memory table is
+    # materialized (awaitTermination below), so no other query sees it
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
@@ -802,24 +854,27 @@ def _q_media_real_decode(spark, sf_dir):
     def make_bmp(ids: pd.Series) -> pd.Series:
         import struct as S
 
-        out = []
-        for did in ids:
-            w, h = 16, 8
-            row = bytearray()
-            for x in range(w):
-                v = (int(did) * 7 + x * 3) % 256
-                row += bytes([v, v, v])
-            body = bytes(row) * h
-            header = (
-                b"BM"
-                + S.pack("<IHHI", 54 + len(body), 0, 0, 54)
-                + S.pack(
-                    "<IiiHHIIiiII",
-                    40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
-                )
+        import numpy as np
+
+        w, h = 16, 8
+        body_len = w * 3 * h
+        header = (
+            b"BM"
+            + S.pack("<IHHI", 54 + body_len, 0, 0, 54)
+            + S.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, body_len, 2835, 2835, 0, 0,
             )
-            out.append(header + body)
-        return pd.Series(out)
+        )
+        hdr = np.frombuffer(header, dtype=np.uint8)
+        did = ids.to_numpy(dtype=np.int64)[:, None]
+        px = ((did * 7 + np.arange(w)[None, :] * 3) % 256).astype(np.uint8)
+        rows = np.repeat(px, 3, axis=1)                     # BGR triples
+        payload = np.hstack(
+            [np.broadcast_to(hdr, (len(ids), len(hdr))), np.tile(rows, (1, h))]
+        )
+        # one C-contiguous matrix; the only per-row python is the bytes view
+        return pd.Series([r.tobytes() for r in payload])
 
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -861,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_langid,
         "lang_id_trigram": _q_langid_trigram,
         "token_jaccard_adjacent": _q_token_jaccard,
+        "string_similarity_adjacent": _q_string_similarity,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1445,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "streaming_window_stats": _STREAM_WINDOW_SQL,
+        "string_similarity_adjacent": _STRSIM_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

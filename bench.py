@@ -207,6 +207,12 @@ def main() -> None:
         e2e_sec, n_files = run_pipeline(s4, path, 4, runs=3)
         e2e_cfg = "local[4]"
         s4.stop()
+        if os.environ.get("BENCH_HEADLINE_L8", "1") != "0":
+            s8 = get_spark(app_name="bench_l8", master="local[8]")
+            t8, _ = run_pipeline(s8, path, 8, runs=2)
+            s8.stop()
+            if t8 < e2e_sec:
+                e2e_sec, e2e_cfg = t8, "local[8]"
         if os.environ.get("BENCH_HEADLINE_WIDE", "1") != "0":
             spark = get_spark(app_name="bench", master=f"local[{cpus}]")
             t_w, _ = run_pipeline(spark, path, min(cpus, 12), runs=2)

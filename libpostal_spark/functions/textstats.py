@@ -142,7 +142,7 @@ def lang_id_trigram(
     text_col: str = "text",
     lang_col: str = "lang",
     id_col: str = "doc_id",
-    fit_max_docs: int = 2000,
+    fit_max_docs: int = 1000,
 ):
     """STATISTICAL language ID: character-trigram profile classifier
     (Cavnar–Trenkle-family; the distributed analog of the reference's

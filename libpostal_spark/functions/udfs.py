@@ -143,6 +143,38 @@ def make_pair_jaccard_udf(cfg: PipelineConfig):
     return pair_jaccard_udf
 
 
+def make_strsim_udf(max_len: int = 32):
+    """(s1, s2) -> struct(lev, dl, jw): classic Levenshtein, UNRESTRICTED
+    Damerau-Levenshtein, and Jaro-Winkler similarity over the first
+    max_len chars — one Arrow pass through the batch kernels in
+    core/strsim.py (reference analogs: src/damerau_levenshtein.c,
+    src/jaro.c)."""
+    from ..core import strsim
+
+    schema = T.StructType(
+        [
+            T.StructField("lev", T.LongType()),
+            T.StructField("dl", T.LongType()),
+            T.StructField("jw", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def strsim_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        for s1, s2 in it:
+            yield pd.DataFrame(
+                {
+                    "lev": strsim.levenshtein_batch(s1, s2, max_len),
+                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len),
+                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len),
+                }
+            )
+
+    return strsim_udf
+
+
 def make_pair_confirm_udf(cfg: PipelineConfig):
     """(canon1, canon2, substring_hit) -> struct(jaccard, lcs_tokens).
 

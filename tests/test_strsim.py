@@ -1,0 +1,105 @@
+"""String-similarity kernels vs hand goldens + DuckDB built-in lockstep.
+
+The harness oracle compares these operators against DuckDB's
+levenshtein / damerau_levenshtein / jaro_winkler_similarity, so the pinned
+property is exact agreement with those built-ins (which themselves follow
+the textbook definitions the reference implements in
+src/damerau_levenshtein.c and src/jaro.c).
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from libpostal_spark.core import strsim
+
+
+def _one(fn, a, b, **kw):
+    return fn(pd.Series([a]), pd.Series([b]), **kw)[0]
+
+
+def test_levenshtein_goldens():
+    cases = [
+        ("kitten", "sitting", 3),
+        ("", "", 0),
+        ("", "abc", 3),
+        ("abc", "", 3),
+        ("abc", "abc", 0),
+        ("flaw", "lawn", 2),
+    ]
+    for a, b, want in cases:
+        assert _one(strsim.levenshtein_batch, a, b) == want, (a, b)
+
+
+def test_damerau_is_unrestricted():
+    # the discriminating case: OSA gives 3, unrestricted gives 2
+    assert _one(strsim.damerau_levenshtein_batch, "ca", "abc") == 2
+    assert _one(strsim.damerau_levenshtein_batch, "ab", "ba") == 1
+    assert _one(strsim.damerau_levenshtein_batch, "abcdef", "abcdef") == 0
+    assert _one(strsim.damerau_levenshtein_batch, "", "xy") == 2
+    # transposition + substitution compose
+    assert _one(strsim.damerau_levenshtein_batch, "abxcd", "bacd") == 2
+
+
+def test_jaro_winkler_goldens():
+    # classic textbook values
+    assert _one(strsim.jaro_winkler_batch, "MARTHA", "MARHTA") == pytest.approx(
+        0.9611111111111111
+    )
+    assert _one(strsim.jaro_winkler_batch, "DIXON", "DICKSONX") == pytest.approx(
+        0.8133333333333332
+    )
+    assert _one(strsim.jaro_winkler_batch, "DWAYNE", "DUANE") == pytest.approx(0.84)
+    assert _one(strsim.jaro_winkler_batch, "", "") == 0.0
+    assert _one(strsim.jaro_winkler_batch, "", "abc") == 0.0
+    assert _one(strsim.jaro_winkler_batch, "same", "same") == 1.0
+
+
+def test_duckdb_lockstep_fuzz():
+    """Bit-level agreement with DuckDB's built-ins on random pairs —
+    the exact property the harness oracle depends on."""
+    duckdb = pytest.importorskip("duckdb")
+    random.seed(1234)
+    alpha = "abcdefg hij"
+    pairs = []
+    for _ in range(1500):
+        la, lb = random.randint(0, 14), random.randint(0, 14)
+        s1 = "".join(random.choice(alpha) for _ in range(la))
+        s2 = "".join(random.choice(alpha) for _ in range(lb))
+        if random.random() < 0.3:          # correlated pairs hit the
+            s2 = s1[: random.randint(0, la)] + s2   # prefix-boost branch
+        pairs.append((s1, s2))
+    df = pd.DataFrame(pairs, columns=["s1", "s2"])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT levenshtein(s1,s2) l, damerau_levenshtein(s1,s2) dl, "
+        "jaro_winkler_similarity(s1,s2) jw FROM t"
+    ).fetchdf()
+    assert (
+        strsim.levenshtein_batch(df.s1, df.s2) == want.l.to_numpy()
+    ).all()
+    assert (
+        strsim.damerau_levenshtein_batch(df.s1, df.s2) == want.dl.to_numpy()
+    ).all()
+    got = strsim.jaro_winkler_batch(df.s1, df.s2)
+    assert (got == want.jw.to_numpy()).all()  # bit-equal, not approx
+
+
+def test_max_len_truncation():
+    """Strings compare over their first max_len chars only (dp cost bound)."""
+    a = "x" * 40 + "suffix_a"
+    b = "x" * 40 + "other_b"
+    assert _one(strsim.levenshtein_batch, a, b, max_len=32) == 0
+    assert _one(strsim.jaro_winkler_batch, a, b, max_len=32) == 1.0
+
+
+def test_nulls_and_batch_mix():
+    s1 = pd.Series(["abc", None, "", "ba"])
+    s2 = pd.Series([None, None, "x", "ab"])
+    lev = strsim.levenshtein_batch(s1, s2)
+    assert list(lev) == [3, 0, 1, 2]
+    dl = strsim.damerau_levenshtein_batch(s1, s2)
+    assert list(dl) == [3, 0, 1, 1]
