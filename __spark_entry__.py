@@ -450,6 +450,87 @@ def _q_string_similarity(spark, sf_dir):
     )
 
 
+def _q_soft_tfidf(spark, sf_dir):
+    """Soft-TFIDF fuzzy pair scoring (the reference's soft_tfidf.c scorer)
+    over adjacent doc pairs — integer-exact accumulation, see
+    operators/softtfidf.py."""
+    from libpostal_spark.operators import softtfidf
+
+    return softtfidf.soft_tfidf_pairs(_docs(spark, sf_dir)).select(
+        "doc_id1", "doc_id2", "n_matched", "soft_e4", "soft_tfidf", "status"
+    )
+
+
+_SOFT_TFIDF_SQL = """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+    prs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+            FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1),
+    toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(list_sort(list_distinct(list_filter(
+                      string_split_regex(lower(trim(text)), '\\s+'),
+                      t -> length(t) > 0)))[1:10]) AS token
+      FROM documents
+    ),
+    wtab AS (SELECT token,
+                    CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
+             FROM toks GROUP BY token),
+    wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+    cand AS (
+      SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
+             b.token AS tok_b, b.w AS w_b,
+             CAST(floor(jaro_winkler_similarity(a.token, b.token) * 10000) AS BIGINT) AS jw_e4
+      FROM prs p
+      JOIN wt a ON a.doc_id = p.doc_id1
+      JOIN wt b ON b.doc_id = p.doc_id2
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY doc_id1, doc_id2, tok_a
+                 ORDER BY jw_e4 DESC, tok_b ASC) AS rk
+        FROM cand WHERE jw_e4 >= 9000
+      ) WHERE rk = 1
+    ),
+    agg AS (SELECT doc_id1, doc_id2,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   sum(w_a * w_b * jw_e4) AS score_int
+            FROM best GROUP BY doc_id1, doc_id2)
+    SELECT p.doc_id1, p.doc_id2,
+           coalesce(g.n_matched, 0) AS n_matched,
+           CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                     AND g.score_int IS NOT NULL
+                THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                     AS BIGINT)
+                ELSE 0 END AS soft_e4,
+           (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                      AND g.score_int IS NOT NULL
+                 THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                      AS BIGINT)
+                 ELSE 0 END) / 10000.0 AS soft_tfidf,
+           CASE WHEN (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                                AND g.score_int IS NOT NULL
+                           THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                                AS BIGINT) ELSE 0 END) >= 9000
+                THEN 'likely_duplicate'
+                WHEN (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                                AND g.score_int IS NOT NULL
+                           THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                                AS BIGINT) ELSE 0 END) >= 7000
+                THEN 'needs_review'
+                ELSE 'non_duplicate' END AS status
+    FROM prs p
+    LEFT JOIN agg g USING (doc_id1, doc_id2)
+    LEFT JOIN norms na ON na.doc_id = p.doc_id1
+    LEFT JOIN norms nb ON nb.doc_id = p.doc_id2
+"""
+
+
 _STRSIM_SQL = f"""
     WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                       substr(text, 1, {_STRSIM_MAXLEN}) AS s
@@ -917,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": _q_langid_trigram,
         "token_jaccard_adjacent": _q_token_jaccard,
         "string_similarity_adjacent": _q_string_similarity,
+        "soft_tfidf_adjacent": _q_soft_tfidf,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1502,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_window_stats": _STREAM_WINDOW_SQL,
         "string_similarity_adjacent": _STRSIM_SQL,
+        "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """
