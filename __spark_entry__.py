@@ -450,6 +450,145 @@ def _q_string_similarity(spark, sf_dir):
     )
 
 
+# deterministic acronym/expansion decoration: the sf corpus is random word
+# salad with no natural acronym-phrase structure, so each doc is PREFIXED
+# (prefix — the token stream is capped at the first 12 tokens) with either
+# acronym tokens or their expansion phrases by doc_id parity; adjacent
+# pairs then exercise the alignment rule in both engines identically.
+_ACR_PREFIXES = [
+    "nyu gpu tcp",
+    "new york university graphics processing unit",
+    "abc rpc",
+    "alpha beta charlie remote procedure call",
+]
+
+
+def _q_acronym_pairs(spark, sf_dir):
+    """Acronym-phrase alignments between adjacent docs (reference
+    src/acronyms.c rule re-expressed as JVM higher-order functions)."""
+    arr = F.array(*[F.lit(p) for p in _ACR_PREFIXES])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_ACR_PREFIXES))) + 1
+    ).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.element_at(arr, idx), F.lit(" "), F.col("text")).alias("text"),
+    )
+    return dedup.acronym_pairs(docs)
+
+
+def _acr_prefix_sql() -> str:
+    n = len(_ACR_PREFIXES)
+    return (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(p)}" for i, p in enumerate(_ACR_PREFIXES)
+        )
+        + " END || ' ' || text"
+    )
+
+
+def _acronym_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             list_filter(string_split_regex(lower(trim({_acr_prefix_sql()})), '\\s+'),
+                         t -> length(t) > 0)[1:12] AS bt
+      FROM documents
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             a.bt AS ats, b.bt AS bt
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    ),
+    m AS (
+      SELECT doc_id1, doc_id2,
+             list_sort(list_filter(
+               list_filter(list_distinct(ats),
+                           a -> length(a) >= 2 AND length(a) <= 6
+                                AND regexp_matches(a, '^[a-z]+$')),
+               a -> len(bt) >= length(a) AND len(list_filter(
+                      range(1, len(bt) - length(a) + 2),
+                      i -> array_to_string(
+                             list_transform(bt[i:i + length(a) - 1],
+                                            t -> t[1:1]), '') = a)) > 0
+             )) AS matched
+      FROM prs
+    )
+    SELECT doc_id1, doc_id2,
+           CAST(len(matched) AS BIGINT) AS n_acronyms,
+           coalesce(array_to_string(matched, ','), '') AS acronyms
+    FROM m
+    """
+
+
+# affine-gap goldens: (s1, s2, hand-derived Gotoh distance with
+# match=0 / mismatch=2 / gap_open=2 / gap_extend=1, hand-derived
+# abbreviation flag). Derived BY HAND from the alignment definition (e.g.
+# intl→international = 3 matches + one 9-char gap = 2 + 9 = 11), so the
+# oracle CASE independently checks the batch dp end-to-end.
+_AFFINE_GOLDENS = [
+    ("abc", "abc", 0, False),
+    ("abc", "abdc", 3, True),
+    ("abc", "xbc", 2, False),
+    ("", "abc", 5, False),
+    ("intl", "international", 11, True),
+    ("ab", "ba", 4, False),
+    ("kitten", "sitting", 7, False),
+    ("fn", "function", 8, True),
+]
+
+
+def _q_affine_gap(spark, sf_dir):
+    """Affine-gap alignment distance + abbreviation check through the
+    Arrow batch kernel (core/strsim.py; reference src/affine_gap.c)."""
+    from libpostal_spark.functions.udfs import make_affine_gap_udf
+
+    a1 = F.array(*[F.lit(a) for a, _, _, _ in _AFFINE_GOLDENS])
+    a2 = F.array(*[F.lit(b) for _, b, _, _ in _AFFINE_GOLDENS])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_AFFINE_GOLDENS))) + 1
+    ).cast("int")
+    udf = make_affine_gap_udf()
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.element_at(a1, idx).alias("s1"),
+            F.element_at(a2, idx).alias("s2"),
+        )
+        .withColumn("g", udf(F.col("s1"), F.col("s2")))
+        .select(
+            "doc_id", "s1", "s2",
+            F.col("g.gap_cost").alias("gap_cost"),
+            F.col("g.is_abbrev").alias("is_abbrev"),
+        )
+    )
+
+
+def _affine_gap_sql() -> str:
+    n = len(_AFFINE_GOLDENS)
+    mod = f"CAST(doc_id AS BIGINT) % {n}"
+
+    def case(vals) -> str:
+        return (
+            f"CASE {mod} "
+            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+            + " END"
+        )
+
+    s1 = case([_sql_quote(a) for a, _, _, _ in _AFFINE_GOLDENS])
+    s2 = case([_sql_quote(b) for _, b, _, _ in _AFFINE_GOLDENS])
+    gc = case([f"CAST({c} AS BIGINT)" for _, _, c, _ in _AFFINE_GOLDENS])
+    ab = case([str(f).upper() for _, _, _, f in _AFFINE_GOLDENS])
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {s1} AS s1, {s2} AS s2,
+               {gc} AS gap_cost, {ab} AS is_abbrev
+        FROM documents
+    """
+
+
 def _q_soft_tfidf(spark, sf_dir):
     """Soft-TFIDF fuzzy pair scoring (the reference's soft_tfidf.c scorer)
     over adjacent doc pairs — integer-exact accumulation, see
@@ -480,7 +619,8 @@ _SOFT_TFIDF_SQL = """
     cand AS (
       SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
              b.token AS tok_b, b.w AS w_b,
-             CAST(floor(jaro_winkler_similarity(a.token, b.token) * 10000) AS BIGINT) AS jw_e4
+             CAST(floor(jaro_winkler_similarity(a.token, b.token) * 10000) AS BIGINT) AS jw_e4,
+             damerau_levenshtein(a.token, b.token) AS dl
       FROM prs p
       JOIN wt a ON a.doc_id = p.doc_id1
       JOIN wt b ON b.doc_id = p.doc_id2
@@ -490,7 +630,9 @@ _SOFT_TFIDF_SQL = """
         SELECT *, row_number() OVER (
                  PARTITION BY doc_id1, doc_id2, tok_a
                  ORDER BY jw_e4 DESC, tok_b ASC) AS rk
-        FROM cand WHERE jw_e4 >= 9000
+        FROM cand
+        WHERE jw_e4 >= 9000
+           OR (dl <= 1 AND length(tok_a) >= 4 AND length(tok_b) >= 4)
       ) WHERE rk = 1
     ),
     agg AS (SELECT doc_id1, doc_id2,
@@ -999,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_adjacent": _q_token_jaccard,
         "string_similarity_adjacent": _q_string_similarity,
         "soft_tfidf_adjacent": _q_soft_tfidf,
+        "acronym_alignments": _q_acronym_pairs,
+        "affine_gap_alignment": _q_affine_gap,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1585,6 +1729,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window_stats": _STREAM_WINDOW_SQL,
         "string_similarity_adjacent": _STRSIM_SQL,
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
+        "acronym_alignments": _acronym_sql(),
+        "affine_gap_alignment": _affine_gap_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

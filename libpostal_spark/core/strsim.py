@@ -122,6 +122,86 @@ def damerau_levenshtein_batch(
     return d[rows, la + 1, lb + 1].astype(np.int64)
 
 
+def affine_gap_batch(
+    s1: pd.Series, s2: pd.Series, max_len: int = 32,
+    mismatch: int = 2, gap_open: int = 2, gap_extend: int = 1,
+) -> np.ndarray:
+    """Affine-gap alignment DISTANCE (Gotoh) per pair, batch-vectorized.
+
+    Reference analog: the affine-gap scorer backing
+    ``possible_abbreviation_with_affine_gap`` (/root/reference/src/affine_gap.c,
+    used by src/soft_tfidf.c's match ladder) — abbreviations like
+    "intl" → "international" cost one opened gap plus its extensions
+    instead of per-character edits, so they score far closer than plain
+    Levenshtein reports.
+
+    Costs: match 0, mismatch, and a gap of length k costs
+    gap_open + k·gap_extend. Three-state Gotoh dp (M = ends in
+    match/mismatch, X = gap consuming s2, Y = gap consuming s1) with
+    rolling rows; the combined matrix is kept in full so per-row answers
+    read at each pair's true lengths.
+    """
+    a, la = _codes(s1, max_len, _SENT_A)
+    b, lb = _codes(s2, max_len, _SENT_B)
+    B, m, n = len(la), a.shape[1], b.shape[1]
+    if B == 0:
+        return np.zeros(0, dtype=np.int64)
+    rows = np.arange(B)
+    INF = np.int32(10 ** 7)
+    D = np.zeros((B, m + 1, n + 1), dtype=np.int32)
+    gaps = gap_open + gap_extend * np.arange(max(m, n) + 1, dtype=np.int32)
+    D[:, 0, 1:] = gaps[1 : n + 1][None, :]
+    D[:, 1:, 0] = gaps[1 : m + 1][None, :]
+    Mp = np.full((B, n + 1), INF, dtype=np.int32)
+    Xp = np.full((B, n + 1), INF, dtype=np.int32)
+    Yp = np.full((B, n + 1), INF, dtype=np.int32)
+    Mp[:, 0] = 0
+    Xp[:, 1:] = gaps[1 : n + 1][None, :]
+    for i in range(1, m + 1):
+        Mc = np.full((B, n + 1), INF, dtype=np.int32)
+        Xc = np.full((B, n + 1), INF, dtype=np.int32)
+        Yc = np.empty((B, n + 1), dtype=np.int32)
+        Yc[:, 0] = gaps[i]
+        best_p = np.minimum(np.minimum(Mp, Xp), Yp)
+        Yc[:, 1:] = np.minimum(
+            np.minimum(Mp[:, 1:], Xp[:, 1:]) + gap_open + gap_extend,
+            Yp[:, 1:] + gap_extend,
+        )
+        Yc[:, 0] = gaps[i]
+        cost = (a[:, i - 1][:, None] != b).astype(np.int32) * mismatch
+        for j in range(1, n + 1):
+            Mc[:, j] = best_p[:, j - 1] + cost[:, j - 1]
+            Xc[:, j] = np.minimum(
+                np.minimum(Mc[:, j - 1], Yc[:, j - 1]) + gap_open + gap_extend,
+                Xc[:, j - 1] + gap_extend,
+            )
+            D[:, i, j] = np.minimum(np.minimum(Mc[:, j], Xc[:, j]), Yc[:, j])
+        Xc[:, 0] = INF
+        Mp, Xp, Yp = Mc, Xc, Yc
+    return D[rows, la, lb].astype(np.int64)
+
+
+def is_abbreviation_batch(
+    s1: pd.Series, s2: pd.Series, max_len: int = 32
+) -> np.ndarray:
+    """Abbreviation-candidate check per pair: s1 (len ≥ 2, strictly shorter)
+    shares s2's first character and is a subsequence of s2 — the
+    deterministic core of the reference's possible-abbreviation rung
+    ("intl" → "international"). Vectorized pointer advance over s2's
+    columns."""
+    a, la = _codes(s1, max_len, _SENT_A)
+    b, lb = _codes(s2, max_len, _SENT_B)
+    B, n = len(la), b.shape[1]
+    if B == 0:
+        return np.zeros(0, dtype=bool)
+    ptr = np.zeros(B, dtype=np.int64)
+    idx = np.arange(B)
+    for j in range(n):
+        cur = a[idx, np.minimum(ptr, a.shape[1] - 1)]
+        ptr = ptr + ((cur == b[:, j]) & (ptr < la)).astype(np.int64)
+    return (ptr == la) & (la >= 2) & (la < lb) & (a[:, 0] == b[:, 0])
+
+
 def jaro_winkler_batch(
     s1: pd.Series, s2: pd.Series, max_len: int = 32,
     prefix_scale: float = 0.1, boost_threshold: float = 0.7,

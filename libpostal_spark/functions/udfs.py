@@ -175,6 +175,34 @@ def make_strsim_udf(max_len: int = 32):
     return strsim_udf
 
 
+def make_affine_gap_udf(max_len: int = 32):
+    """(s1, s2) -> struct(gap_cost, is_abbrev): Gotoh affine-gap alignment
+    distance + the abbreviation-candidate check (core/strsim.py; reference
+    analogs src/affine_gap.c and soft_tfidf.c's abbreviation rung)."""
+    from ..core import strsim
+
+    schema = T.StructType(
+        [
+            T.StructField("gap_cost", T.LongType()),
+            T.StructField("is_abbrev", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def affine_gap_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        for s1, s2 in it:
+            yield pd.DataFrame(
+                {
+                    "gap_cost": strsim.affine_gap_batch(s1, s2, max_len),
+                    "is_abbrev": strsim.is_abbreviation_batch(s1, s2, max_len),
+                }
+            )
+
+    return affine_gap_udf
+
+
 def make_pair_confirm_udf(cfg: PipelineConfig):
     """(canon1, canon2, substring_hit) -> struct(jaccard, lcs_tokens).
 

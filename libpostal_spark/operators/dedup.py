@@ -320,6 +320,63 @@ def dup_status_pairs_with_ledger(
     )
 
 
+_ACR_MAX_TOKENS = 12
+
+
+def _acr_tokens_expr(text_col: str) -> str:
+    return (
+        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f" t -> length(t) > 0), 1, {_ACR_MAX_TOKENS})"
+    )
+
+
+def acronym_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Acronym-phrase alignment between adjacent doc pairs (reference:
+    ``existing_acronym_phrase_alignments``, /root/reference/src/acronyms.c —
+    the soft_tfidf match rung that lets "nyu" align with
+    "new york university").
+
+    Rule (directional, deterministic): an alphabetic token ``a`` of doc A
+    with 2 ≤ len(a) ≤ 6 MATCHES doc B when some contiguous run of len(a)
+    tokens in B has first letters concatenating to ``a``. Token streams
+    are the first {_ACR_MAX_TOKENS} whitespace tokens (bounded work per
+    pair); candidate acronyms are the distinct qualifying tokens of A.
+
+    Pure JVM higher-order-function expressions — no Python anywhere — and
+    fully SQL-expressible, which is what lets the DuckDB oracle replay it.
+
+    Output: doc_id1, doc_id2, n_acronyms, acronyms (comma-joined sorted).
+    """
+    matched = """
+        array_sort(filter(
+          filter(array_distinct(ats),
+                 a -> length(a) >= 2 AND length(a) <= 6
+                      AND a rlike '^[a-z]+$'),
+          a -> size(bt) >= length(a) AND exists(
+                 sequence(1, size(bt) - length(a) + 1),
+                 i -> array_join(
+                        transform(slice(bt, i, length(a)),
+                                  t -> substring(t, 1, 1)), '') = a)))
+    """
+    a = docs.select(
+        F.col(id_col).cast("long").alias("doc_id1"),
+        F.expr(_acr_tokens_expr(text_col)).alias("ats"),
+    )
+    b = docs.select(
+        (F.col(id_col).cast("long") - 1).alias("doc_id1"),
+        F.col(id_col).cast("long").alias("doc_id2"),
+        F.expr(_acr_tokens_expr(text_col)).alias("bt"),
+    )
+    joined = a.join(b, "doc_id1").withColumn("matched", F.expr(matched))
+    return joined.select(
+        "doc_id1",
+        "doc_id2",
+        F.size("matched").cast("long").alias("n_acronyms"),
+        F.array_join("matched", ",").alias("acronyms"),
+    )
+
+
 def minhash_clusters(
     spark,
     documents: DataFrame,

@@ -128,11 +128,23 @@ def soft_tfidf_pairs(
     )
     cand = pairs.join(ta, "doc_id1").join(tb, "doc_id2")
 
+    # the reference's match ladder (soft_tfidf.c:240-465): exact/JW ≥ 0.9,
+    # OR Damerau-Levenshtein ≤ 1 for tokens of length ≥ 4 (typo rung) —
+    # a DL-rung match scores with its JW value like any other match
     strsim = make_strsim_udf(jw_max_len)
-    scored = cand.withColumn(
-        "jw_e4",
-        F.floor(strsim(F.col("tok_a"), F.col("tok_b"))["jw"] * 10000).cast("long"),
-    ).filter(F.col("jw_e4") >= F.lit(JW_CLOSE_E4))
+    m = strsim(F.col("tok_a"), F.col("tok_b"))
+    scored = (
+        cand.withColumn("jw_e4", F.floor(m["jw"] * 10000).cast("long"))
+        .withColumn("dl", m["dl"])
+        .filter(
+            (F.col("jw_e4") >= F.lit(JW_CLOSE_E4))
+            | (
+                (F.col("dl") <= 1)
+                & (F.length("tok_a") >= 4)
+                & (F.length("tok_b") >= 4)
+            )
+        )
+    )
     # best B-match per (pair, A-token): max jw, tie to lexicographically
     # smaller token (deterministic, mirrors the SQL twin)
     wbest = Window.partitionBy("doc_id1", "doc_id2", "tok_a").orderBy(

@@ -88,6 +88,69 @@ def test_duckdb_lockstep_fuzz():
     assert (got == want.jw.to_numpy()).all()  # bit-equal, not approx
 
 
+def _scalar_affine(a, b, mis=2, go=2, ge=1):
+    """Scalar three-state Gotoh reference for the fuzz check."""
+    INF = 10 ** 9
+    m, n = len(a), len(b)
+    M = [[INF] * (n + 1) for _ in range(m + 1)]
+    X = [[INF] * (n + 1) for _ in range(m + 1)]
+    Y = [[INF] * (n + 1) for _ in range(m + 1)]
+    M[0][0] = 0
+    for j in range(1, n + 1):
+        X[0][j] = go + ge * j
+    for i in range(1, m + 1):
+        Y[i][0] = go + ge * i
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            M[i][j] = min(M[i - 1][j - 1], X[i - 1][j - 1], Y[i - 1][j - 1]) + (
+                0 if a[i - 1] == b[j - 1] else mis
+            )
+            X[i][j] = min(min(M[i][j - 1], Y[i][j - 1]) + go + ge, X[i][j - 1] + ge)
+            Y[i][j] = min(min(M[i - 1][j], X[i - 1][j]) + go + ge, Y[i - 1][j] + ge)
+    return min(M[m][n], X[m][n], Y[m][n])
+
+
+def test_affine_gap_goldens():
+    cases = [
+        ("abc", "abc", 0),
+        ("abc", "abdc", 3),       # one opened 1-char gap: 2 + 1
+        ("", "abc", 5),           # gap of 3: 2 + 3
+        ("intl", "international", 11),   # i,n,t,l match; 9-char gap: 2 + 9
+        ("kitten", "sitting", 7), # 2 subs (4) + 1-char gap (3)
+        ("fn", "function", 8),    # f..n(final) match; 6-char gap: 2 + 6
+    ]
+    for a, b, want in cases:
+        assert _one(strsim.affine_gap_batch, a, b) == want, (a, b)
+        # affine gap rewards contiguous gaps: never worse than lev * mismatch
+        assert _one(strsim.affine_gap_batch, a, b) <= max(
+            2 * _one(strsim.levenshtein_batch, a, b), 0
+        ) + 2
+
+
+def test_affine_gap_fuzz_vs_scalar():
+    random.seed(77)
+    pairs = [
+        (
+            "".join(random.choice("abcd") for _ in range(random.randint(0, 10))),
+            "".join(random.choice("abcd") for _ in range(random.randint(0, 10))),
+        )
+        for _ in range(300)
+    ]
+    got = strsim.affine_gap_batch(
+        pd.Series([p[0] for p in pairs]), pd.Series([p[1] for p in pairs])
+    )
+    for (a, b), g in zip(pairs, got):
+        assert g == _scalar_affine(a, b), (a, b)
+
+
+def test_is_abbreviation():
+    s1 = pd.Series(["intl", "fn", "abc", "new", "ab", "a"])
+    s2 = pd.Series(["international", "function", "abc", "york", "cab", "aaa"])
+    got = list(strsim.is_abbreviation_batch(s1, s2))
+    #                 subseq+prefix  subseq  equal-len  no     b0 differs  len<2
+    assert got == [True, True, False, False, False, False]
+
+
 def test_max_len_truncation():
     """Strings compare over their first max_len chars only (dp cost bound)."""
     a = "x" * 40 + "suffix_a"
