@@ -51,12 +51,19 @@ def _cache_put(cache: dict, key: tuple, value, release=None) -> None:
     app = key[0]
     for k in [k for k in cache if k[0] != app]:
         cache.pop(k, None)
+        # the gating-value side table is keyed like _SIG_CACHE; clean its
+        # dead-session entries alongside, but ONLY when sweeping the cache
+        # it belongs to — a sibling cache (ANN/sha/pairs) evicting the same
+        # (app, sf_dir) key must not strand _SIG_CACHE without its gate
+        if cache is _SIG_CACHE:
+            _MAX_CLASS_CACHE.pop(k, None)
     cache[key] = value
     keys = [k for k in cache if k[0] == app]
     while len(keys) > _CACHE_LIMIT:
         old = keys.pop(0)
         v = cache.pop(old)
-        _MAX_CLASS_CACHE.pop(old, None)
+        if cache is _SIG_CACHE:
+            _MAX_CLASS_CACHE.pop(old, None)
         try:
             if release is not None:
                 release(v)
@@ -617,10 +624,16 @@ _SOFT_TFIDF_SQL = """
     wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
     norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
     cand AS (
+      -- similarity runs on the 16-char token prefixes, mirroring the
+      -- Spark kernel's jw_max_len=16 truncation exactly (df/weights stay
+      -- full-token on both sides)
       SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
              b.token AS tok_b, b.w AS w_b,
-             CAST(floor(jaro_winkler_similarity(a.token, b.token) * 10000) AS BIGINT) AS jw_e4,
-             damerau_levenshtein(a.token, b.token) AS dl
+             CAST(floor(jaro_winkler_similarity(substr(a.token, 1, 16),
+                                                substr(b.token, 1, 16)) * 10000)
+                  AS BIGINT) AS jw_e4,
+             damerau_levenshtein(substr(a.token, 1, 16),
+                                 substr(b.token, 1, 16)) AS dl
       FROM prs p
       JOIN wt a ON a.doc_id = p.doc_id1
       JOIN wt b ON b.doc_id = p.doc_id2
@@ -1020,9 +1033,16 @@ def _q_streaming_window_stats(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        # one row per window (bounded by time-range / window-size): lift
+        # the result off the memory sink and DROP the per-invocation view,
+        # so repeated calls in one session don't accumulate sink tables in
+        # driver memory
+        sink = spark.table(name)
+        rows, schema = sink.collect(), sink.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).select(
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         F.col("n_events").cast("long").alias("n_events"),

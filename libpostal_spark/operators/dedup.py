@@ -340,8 +340,9 @@ def acronym_pairs(docs: DataFrame, text_col: str = "text",
     Rule (directional, deterministic): an alphabetic token ``a`` of doc A
     with 2 ≤ len(a) ≤ 6 MATCHES doc B when some contiguous run of len(a)
     tokens in B has first letters concatenating to ``a``. Token streams
-    are the first {_ACR_MAX_TOKENS} whitespace tokens (bounded work per
-    pair); candidate acronyms are the distinct qualifying tokens of A.
+    are the first ``_ACR_MAX_TOKENS`` (= 12) whitespace tokens (bounded
+    work per pair); candidate acronyms are the distinct qualifying tokens
+    of A.
 
     Pure JVM higher-order-function expressions — no Python anywhere — and
     fully SQL-expressible, which is what lets the DuckDB oracle replay it.

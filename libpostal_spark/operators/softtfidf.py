@@ -158,16 +158,19 @@ def soft_tfidf_pairs(
         F.count("*").alias("n_matched"),
         F.sum(F.col("w_a") * F.col("w_b") * F.col("jw_e4")).alias("score_int"),
     )
+    # norms is one row per DOCUMENT — corpus-sized, so these are plain
+    # shuffle joins (AQE may still broadcast them at small scale); only the
+    # distinct-token weight table above is explicitly broadcast
     out = (
         pairs.join(agg, ["doc_id1", "doc_id2"], "left")
         .join(
-            F.broadcast(norms.select(F.col(id_col).alias("doc_id1"),
-                                     F.col("n2").alias("na2"))),
+            norms.select(F.col(id_col).alias("doc_id1"),
+                         F.col("n2").alias("na2")),
             "doc_id1", "left",
         )
         .join(
-            F.broadcast(norms.select(F.col(id_col).alias("doc_id2"),
-                                     F.col("n2").alias("nb2"))),
+            norms.select(F.col(id_col).alias("doc_id2"),
+                         F.col("n2").alias("nb2")),
             "doc_id2", "left",
         )
         .select(

@@ -22,7 +22,8 @@ CFG = PipelineConfig()
 MASTER = os.environ.get("PROF_MASTER", "local[4]")
 SF = float(os.environ.get("PROF_SF", "0.2"))
 REPS = int(os.environ.get("PROF_REPS", "3"))
-NPART = int(os.environ.get("PROF_NPART", MASTER.strip("local[]") or "4"))
+_m = __import__("re").search(r"\[(\d+)\]", MASTER)
+NPART = int(os.environ.get("PROF_NPART", _m.group(1) if _m else "4"))
 
 
 def main():
