@@ -60,7 +60,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Heap sizing on this substrate: first-touch page faults serialize
+        # host-side, so the JVM's PAGE FOOTPRINT matters more than heap
+        # headroom. A huge heap lets G1's eden wander across tens of GB of
+        # fresh regions (measured: an -Xms48g pin drove RSS to ~35 GB and
+        # slowed the same workload ~2×); a compact heap forces region
+        # reuse over hot, already-resident pages. 16g comfortably fits the
+        # bench corpora and caches; override with SPARK_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # constraint propagation is O(plan²) driver work and this engine's
