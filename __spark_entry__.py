@@ -596,6 +596,115 @@ def _affine_gap_sql() -> str:
     """
 
 
+# Double Metaphone goldens: (name, primary, secondary), each HAND-TRACED
+# through the reference rule cascade (/root/reference/src/double_metaphone.c)
+# — not replayed from the implementation — covering initial-cluster skips,
+# silent GH (Parker's rule), germanic CH/ACH, Spanish LL/J, Polish -WICZ,
+# French silent finals, the Smith/Schmidt S→S/X split, and the reference's
+# dead-SC-branch quirk ("SCIENCE" → SSNS, not the classic SNS).
+_DM_GOLDENS = [
+    ("SMITH", "SM0", "XMT"), ("SCHMIDT", "XMT", "SMT"),
+    ("SMYTH", "SM0", "XMT"), ("JOHNSON", "JNSN", "ANSN"),
+    ("WILLIAMS", "ALMS", "FLMS"), ("THOMPSON", "TMPSN", "TMPSN"),
+    ("WRIGHT", "RT", "RT"), ("XAVIER", "SF", "SFR"),
+    ("CAMPBELL", "KMPL", "KMPL"), ("MICHAEL", "MKL", "MXL"),
+    ("THOMAS", "TMS", "TMS"), ("CATHERINE", "K0RN", "KTRN"),
+    ("KNIGHT", "NT", "NT"), ("PHILIP", "FLP", "FLP"),
+    ("GNOME", "NM", "NM"), ("PNEUMONIA", "NMN", "NMN"),
+    ("WASSERMAN", "ASRMN", "FSRMN"), ("UOMO", "AM", "AM"),
+    ("WOMO", "AM", "FM"), ("ARNOW", "ARN", "ARNF"),
+    ("ARNOFF", "ARNF", "ARNF"), ("FILIPOWICZ", "FLPTS", "FLPFX"),
+    ("JANKELOWICZ", "JNKLTS", "ANKLFX"), ("YANKELOVICH", "ANKLFX", "ANKLFK"),
+    ("DUMB", "TM", "TM"), ("PLUMBER", "PLMR", "PLMR"),
+    ("EDGE", "AJ", "AJ"), ("EDGAR", "ATKR", "ATKR"),
+    ("GHISLANE", "JLN", "JLN"), ("GHIRADELLI", "JRTL", "JRTL"),
+    ("HUGH", "H", "H"), ("BOUGH", "P", "P"),
+    ("BROUGHTON", "PRTN", "PRTN"), ("LAUGH", "LF", "LF"),
+    ("COUGH", "KF", "KF"), ("MCLAUGHLIN", "MKLFLN", "MKLFLN"),
+    ("CAGNEY", "KKN", "KKN"), ("AGNES", "AKNS", "ANS"),
+    ("TAGLIARO", "TKLR", "TLR"), ("GERMAN", "KRMN", "JRMN"),
+    ("DANGER", "TNJR", "TNKR"), ("RANGER", "RNJR", "RNKR"),
+    ("MANAGER", "MNKR", "MNJR"), ("VIAGGI", "FJ", "FK"),
+    ("HOCHMEIER", "HKMR", "HKMR"), ("ROGIER", "RJ", "RKR"),
+    ("BIAGGI", "PJ", "PK"), ("SAN JACINTO", "SNHSNT", "SNHSNT"),
+    ("JOSE", "JS", "HS"), ("SAN JOSE", "SNHS", "SNHS"),
+    ("ISLAND", "ALNT", "ALNT"), ("SUGAR", "XKR", "SKR"),
+    ("CZERNY", "SRN", "XRN"), ("ZHAO", "J", "J"),
+    ("PIZZA", "PS", "PTS"), ("ACCIDENT", "AKSTNT", "AKSTNT"),
+    ("MCCLELLAN", "MKLLN", "MKLLN"), ("BELLOCCHIO", "PLK", "PLX"),
+    ("BACCHUS", "PKS", "PKS"), ("CAESAR", "SSR", "KSR"),
+    ("CHIANTI", "KNT", "KNT"), ("CHEMISTRY", "KMSTR", "KMSTR"),
+    ("ORCHESTRA", "ARKSTR", "ARKSTR"), ("ARCHITECT", "ARKTKT", "ARKTKT"),
+    ("ARCH", "ARX", "ARK"), ("WACHTLER", "AKTLR", "FKTLR"),
+    ("MACHER", "MKR", "MKR"), ("STEVEN", "STFN", "STFN"),
+    ("NIGHT", "NT", "NT"), ("GOUGH", "KF", "KF"),
+    ("ROUGH", "RF", "RF"), ("TOUGH", "TF", "TF"),
+    ("CABRILLO", "KPRL", "KPR"), ("GALLEGOS", "KLKS", "KKS"),
+    ("DAVIDSON", "TFTSN", "TFTSN"), ("HOROWITZ", "HRTS", "HRFX"),
+    ("ZUKOWSKI", "SKSK", "SKFSK"), ("RESNAIS", "RSN", "RSNS"),
+    ("ARTOIS", "ART", "ARTS"), ("THAMES", "TMS", "TMS"),
+    ("VAN GOGH", "FNKK", "FNKK"), ("SCHNEIDER", "XNTR", "SNTR"),
+    ("SCHOOL", "SKL", "SKL"), ("SCHERMERHORN", "XRMRRN", "SKRMRRN"),
+    ("SCHENKER", "XNKR", "SKNKR"), ("SNIDER", "SNTR", "XNTR"),
+    ("HALLELUJAH", "HLLJ", "HLLH"), ("THUMB", "0M", "TM"),
+    ("RASPBERRY", "RSPR", "RSPR"), ("BREAUX", "PR", "PR"),
+    ("ALEXANDER", "ALKSNTR", "ALKSNTR"), ("KNUTH", "N0", "NT"),
+    ("PSYCHO", "SX", "SK"), ("MCHUGH", "MK", "MK"),
+    ("CHURCH", "XRX", "XRK"), ("TICHNER", "TXNR", "TKNR"),
+    ("WHALE", "AL", "AL"), ("SCIENCE", "SSNS", "SXNS"),
+    ("SCOTT", "SKT", "SKT"), ("RAJ", "RJ", "R"),
+    ("JAMES", "JMS", "AMS"), ("MAJOR", "MJR", "MHR"),
+    ("BAJADOR", "PJTR", "PHTR"),
+]
+
+
+def _q_double_metaphone(spark, sf_dir):
+    """Full-length Double Metaphone primary+secondary codes through the
+    Arrow batch kernel (core/metaphone.py; reference
+    src/double_metaphone.c:1-980)."""
+    from libpostal_spark.functions.udfs import make_double_metaphone_udf
+
+    names = F.array(*[F.lit(n) for n, _, _ in _DM_GOLDENS])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_DM_GOLDENS))) + 1
+    ).cast("int")
+    udf = make_double_metaphone_udf()
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.element_at(names, idx).alias("name"),
+        )
+        .withColumn("m", udf(F.col("name")))
+        .select(
+            "doc_id", "name",
+            F.col("m.primary").alias("dm_primary"),
+            F.col("m.secondary").alias("dm_secondary"),
+        )
+    )
+
+
+def _dm_sql() -> str:
+    n = len(_DM_GOLDENS)
+    mod = f"CAST(doc_id AS BIGINT) % {n}"
+
+    def case(vals) -> str:
+        return (
+            f"CASE {mod} "
+            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+            + " END"
+        )
+
+    nm = case([_sql_quote(a) for a, _, _ in _DM_GOLDENS])
+    pr = case([_sql_quote(p) for _, p, _ in _DM_GOLDENS])
+    sc = case([_sql_quote(s) for _, _, s in _DM_GOLDENS])
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {nm} AS name, {pr} AS dm_primary, {sc} AS dm_secondary
+        FROM documents
+    """
+
+
 def _q_soft_tfidf(spark, sf_dir):
     """Soft-TFIDF fuzzy pair scoring (the reference's soft_tfidf.c scorer)
     over adjacent doc pairs — integer-exact accumulation, see
@@ -1163,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf_adjacent": _q_soft_tfidf,
         "acronym_alignments": _q_acronym_pairs,
         "affine_gap_alignment": _q_affine_gap,
+        "double_metaphone": _q_double_metaphone,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1751,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
         "acronym_alignments": _acronym_sql(),
         "affine_gap_alignment": _affine_gap_sql(),
+        "double_metaphone": _dm_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

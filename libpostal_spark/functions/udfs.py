@@ -203,6 +203,34 @@ def make_affine_gap_udf(max_len: int = 32):
     return affine_gap_udf
 
 
+def make_double_metaphone_udf():
+    """name:string -> struct(primary, secondary): full-length Double
+    Metaphone codes (core/metaphone.py; reference
+    src/double_metaphone.c:1-980, emitted as name blocking keys at
+    src/near_dupe.c:389). Each Arrow batch computes distinct values once."""
+    from ..core.metaphone import double_metaphone_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("primary", T.StringType()),
+            T.StructField("secondary", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def double_metaphone_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for names in it:
+            codes = double_metaphone_batch(names)
+            yield pd.DataFrame(
+                {
+                    "primary": [c[0] if c else None for c in codes],
+                    "secondary": [c[1] if c else None for c in codes],
+                }
+            )
+
+    return double_metaphone_udf
+
+
 def make_pair_confirm_udf(cfg: PipelineConfig):
     """(canon1, canon2, substring_hit) -> struct(jaccard, lcs_tokens).
 

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Per-STAGE N-vs-4N scaling decomposition inside one warm JVM.
+
+Times each pipeline action separately at partition-cap N and 4N so the
+non-scaling component is attributable to a stage (serial floor) or to a
+sub-4x stage ratio (bandwidth contention), instead of a single opaque wall.
+
+    PROF_N=1 PROF_SF=0.2 PROF_ROUNDS=2 python tools/profile_stage_scaling.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from libpostal_spark.config import PipelineConfig
+from libpostal_spark.corpus import cached_corpus_parquet
+from libpostal_spark.operators import blocking, cluster, verify
+from libpostal_spark.session import get_spark
+
+CFG = PipelineConfig()
+N = int(os.environ.get("PROF_N", "1"))
+SF = float(os.environ.get("PROF_SF", "0.2"))
+ROUNDS = int(os.environ.get("PROF_ROUNDS", "2"))
+
+
+def main():
+    out = open(os.environ.get("PROF_OUT", "/tmp/prof_stage_scaling.log"), "a")
+
+    def p(*a):
+        print(*a, file=out, flush=True)
+
+    n_base = max(200, int(SF * 200_000))
+    path = cached_corpus_parquet(
+        n_base=n_base,
+        n_boilerplate_copies=max(20, n_base // 50),
+        n_clone_embed=max(5, n_base // 200),
+        seed=CFG.seed,
+    )
+    hi = 4 * N
+    spark = get_spark(app_name="prof_stage", master=f"local[{hi}]")
+    inputs = {}
+    for n in (N, hi):
+        f = (
+            spark.read.parquet(path)
+            .select("repo", "path", "commit", "lang", "content")
+            .repartition(n)
+            .persist()
+        )
+        cnt = f.count()
+        inputs[n] = f
+    p(f"== stage-scaling local[{hi}] N={N} n_files={cnt} sf={SF}")
+
+    def one_run(n, label=""):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum", str(n)
+        )
+        stages = {}
+        t_run = time.time()
+
+        t0 = time.time()
+        sigs = blocking.signatures(inputs[n], CFG)
+        with_rep = blocking.exact_rep_frame(sigs).persist()
+        with_rep.count()
+        stages["featurize+shawin"] = time.time() - t0
+
+        t0 = time.time()
+        sigs2 = with_rep.drop("rep_fid")
+        rep_sigs, exact_edges = blocking.exact_groups(with_rep)
+        keys = blocking.blocking_keys(rep_sigs, CFG)
+        pairs, stats_df, keyed = blocking.candidate_pairs(keys, CFG)
+        stages["keys+bucket"] = time.time() - t0
+
+        t0 = time.time()
+        confirmed = verify.verified_pairs(pairs, rep_sigs, CFG).persist()
+        n_conf = confirmed.count()
+        stages["confirm"] = time.time() - t0
+
+        t0 = time.time()
+        rep_labels = cluster.connected_components_auto(
+            confirmed, n_conf, CFG.cc_driver_max_edges
+        )
+        stages["cc"] = time.time() - t0
+
+        t0 = time.time()
+        from pyspark.sql import functions as F
+
+        universe = with_rep.select("fid", "rep_fid")
+        clusters = (
+            universe.join(
+                rep_labels.select(
+                    F.col("fid").alias("rep_fid"),
+                    F.col("component").alias("cc_component"),
+                ),
+                "rep_fid",
+                "left",
+            )
+            .select(
+                "fid", F.coalesce("cc_component", "rep_fid").alias("component")
+            )
+            .withColumn("is_canonical", F.col("fid") == F.col("component"))
+        )
+        clusters.count()
+        stages["label"] = time.time() - t0
+
+        total = time.time() - t_run
+        for df in (with_rep, confirmed, keyed):
+            if df is not None:
+                df.unpersist()
+        p(
+            f"  {label} n={n} total={total:.2f} :: "
+            + " ".join(f"{k}={v:.2f}" for k, v in stages.items())
+        )
+        return total, stages
+
+    # warmups
+    one_run(hi, "warm")
+    one_run(N, "warm")
+    best = {N: None, hi: None}
+    for r in range(ROUNDS):
+        order = (hi, N) if r % 2 == 0 else (N, hi)
+        for n in order:
+            total, stages = one_run(n, f"r{r}")
+            if best[n] is None or total < best[n][0]:
+                best[n] = (total, stages)
+    tN, sN = best[N]
+    tH, sH = best[hi]
+    p(f"BEST T{N}={tN:.2f} T{hi}={tH:.2f} eff={(tN/tH)/4:.3f}")
+    for k in sN:
+        r = sN[k] / sH[k] if sH[k] > 0 else float("nan")
+        p(
+            f"  stage {k}: T{N}={sN[k]:.2f} T{hi}={sH[k]:.2f} "
+            f"ratio={r:.2f} (4.0=perfect) floor_est={(4*sH[k]-sN[k])/3:.2f}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
