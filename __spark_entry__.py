@@ -82,6 +82,38 @@ def _session_key(spark: SparkSession) -> str:
 _MAX_CLASS_CACHE: dict = {}
 
 
+def release_caches() -> None:
+    """Unpersist and drop every cached frame this module holds.
+
+    The bounded per-cache LRU (``_cache_put``) handles steady-state churn;
+    this hook is the session-END sweep — registered via atexit so a
+    one-sweep harness run exits with zero persisted frames still pinned in
+    the executor block manager, and callable directly by long-lived hosts
+    between sweeps."""
+    for cache, release in (
+        (_SIG_CACHE, None),
+        (_SIG_SHA_CACHE, None),
+        (_ANN_SIG_CACHE, None),
+        (_PAIRS_CACHE, lambda v: v[2] is not None and v[2].unpersist()),
+    ):
+        for key in list(cache):
+            v = cache.pop(key, None)
+            try:
+                if release is not None:
+                    release(v)
+                elif v is not None:
+                    v.unpersist()
+            except Exception:
+                pass  # JVM may already be gone at interpreter exit
+    _MAX_CLASS_CACHE.clear()
+    _IVF_CENTROID_CACHE.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(release_caches)
+
+
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libpostal_spark.operators import blocking
 
@@ -367,12 +399,20 @@ def _langid_trigram_sql() -> str:
     cross-multiplication multipliers P/total_L) are recomputed here in
     pandas from the driver's compare-scale table (sf0.01) and embedded as
     integer literals; counts, per-trigram argmax, and the majority vote are
-    plain SQL with the same deterministic tie-breaks."""
+    plain SQL with the same deterministic tie-breaks.
+
+    The model fit — totals here AND the counts CTE below — is restricted to
+    the same deterministic sample the Spark side uses (first
+    ``fit_max_docs`` = 1000 doc_ids in sort order), so the oracle contract
+    holds at ANY compare scale, not just ones below the sample bound."""
     import pyarrow.parquet as pq
 
+    fit_max_docs = 1000
     tb = pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["text", "lang"]
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "text", "lang"],
     ).to_pandas()
+    tb = tb.sort_values("doc_id").head(fit_max_docs)
     tb["t"] = tb["text"].str.lower()
     tb = tb[tb["t"].str.len() >= 3]
     totals = (
@@ -399,8 +439,11 @@ def _langid_trigram_sql() -> str:
         tris AS (SELECT doc_id, lang,
                         substr(t, CAST(pos AS INT), 3) AS tri
                  FROM poss),
+        fit_ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                    FROM documents ORDER BY 1 LIMIT {fit_max_docs}),
         counts AS (SELECT lang, tri, count(*) AS cnt
-                   FROM tris GROUP BY lang, tri),
+                   FROM tris JOIN fit_ids USING (doc_id)
+                   GROUP BY lang, tri),
         scored AS (SELECT tri, lang, cnt::HUGEINT * ({mult}) AS score
                    FROM counts),
         model AS (SELECT tri, lang AS profile_lang FROM (
@@ -705,6 +748,82 @@ def _dm_sql() -> str:
     """
 
 
+# Multi-word alignment goldens: (s1, s2, n_alignments, "start:len:idx" CSV),
+# hand-derived from the reference scan semantics
+# (/root/reference/src/string_similarity.c:590-680) including the
+# no-backtracking quirk (case 'abc' vs 'ab ab c' finds nothing) and the
+# single-token-equality exclusion.
+_MW_GOLDENS = [
+    ("seaworld", "sea world", 1, "0:2:0"),
+    ("sea world", "seaworld", 1, "0:2:0"),
+    ("newyork city", "new york city", 1, "0:2:0"),
+    ("a b c", "x y z", 0, ""),
+    ("sanfrancisco", "san francisco bay", 1, "0:2:0"),
+    ("foo barbaz qux", "foo bar baz qux", 1, "1:2:1"),
+    ("ab cd", "a b c d", 2, "0:2:0,2:2:1"),
+    ("abc", "ab ab c", 0, ""),
+    ("xyz abc", "xy z abc", 1, "0:2:0"),
+    ("inter national business", "international business", 1, "0:2:0"),
+    ("a bc d", "ab cd", 0, ""),
+    ("threetwo one", "three two one", 1, "0:2:0"),
+    ("seaworldpark fun", "sea world park fun", 1, "0:3:0"),
+    ("SeaWorld", "sea world", 1, "0:2:0"),
+]
+
+
+def _q_multiword(spark, sf_dir):
+    """Multi-word token alignments ("sea world" ~ "seaworld") as pure JVM
+    higher-order functions (operators/dedup.py multiword_alignment_expr;
+    reference src/string_similarity.c:590-680)."""
+    a1 = F.array(*[F.lit(a) for a, _, _, _ in _MW_GOLDENS])
+    a2 = F.array(*[F.lit(b) for _, b, _, _ in _MW_GOLDENS])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_MW_GOLDENS))) + 1
+    ).cast("int")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(a1, idx).alias("s1"),
+        F.element_at(a2, idx).alias("s2"),
+    ).withColumn(
+        "ta", F.expr(dedup._mw_tokens_expr("s1"))
+    ).withColumn("tb", F.expr(dedup._mw_tokens_expr("s2")))
+    out = dedup.multiword_alignments(base, "ta", "tb")
+    return out.select(
+        "doc_id", "s1", "s2",
+        F.size("mw_alignments").cast("long").alias("n_alignments"),
+        F.array_join(
+            F.expr(
+                "transform(mw_alignments, o -> concat(o.long_start, ':',"
+                " o.long_len, ':', o.short_idx))"
+            ),
+            ",",
+        ).alias("alignments"),
+    )
+
+
+def _mw_sql() -> str:
+    n = len(_MW_GOLDENS)
+    mod = f"CAST(doc_id AS BIGINT) % {n}"
+
+    def case(vals) -> str:
+        return (
+            f"CASE {mod} "
+            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+            + " END"
+        )
+
+    s1 = case([_sql_quote(a) for a, _, _, _ in _MW_GOLDENS])
+    s2 = case([_sql_quote(b) for _, b, _, _ in _MW_GOLDENS])
+    na = case([f"CAST({c} AS BIGINT)" for _, _, c, _ in _MW_GOLDENS])
+    al = case([_sql_quote(s) for _, _, _, s in _MW_GOLDENS])
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {s1} AS s1, {s2} AS s2,
+               {na} AS n_alignments, {al} AS alignments
+        FROM documents
+    """
+
+
 def _q_soft_tfidf(spark, sf_dir):
     """Soft-TFIDF fuzzy pair scoring (the reference's soft_tfidf.c scorer)
     over adjacent doc pairs — integer-exact accumulation, see
@@ -844,32 +963,50 @@ _IVF = dict(k_lists=8, iters=5, nprobe=2, seed=42)
 _IVF_CENTROID_CACHE: dict = {}
 
 
+_IVF_FIT_MAX_ROWS = 20_000
+
+
 def _ivf_centroids(sf_dir: str):
-    """Deterministic IVF centroids fitted on the sf_dir's embedding table
-    (driver-side, direct parquet read sorted by vec_id — at corpus scale
-    this is a bounded sample, assignment stays distributed). Cached per
-    sf_dir; the oracle twin refits on the same file with the same code, so
-    query and oracle embed identical centroids."""
+    """Deterministic IVF centroids fitted on a BOUNDED driver-side sample
+    of the embedding table: row groups are consumed in file order only
+    until ``_IVF_FIT_MAX_ROWS`` rows are in hand (never the whole file),
+    then the sample is sorted by vec_id and truncated — deterministic for
+    a fixed file at any corpus size, and a ~few-MB read even at 10^9
+    vectors. Assignment stays distributed. The query vector (vec_id = 0)
+    is fetched with a pushed-down parquet filter, so it costs the row
+    groups whose statistics admit vec_id 0, not a full scan. Cached per
+    sf_dir; the oracle twin embeds the identical fitted centroids as
+    literals, so query and oracle agree by construction."""
     if sf_dir not in _IVF_CENTROID_CACHE:
         import numpy as np
         import pyarrow.parquet as pq
 
-        tb = (
-            pq.read_table(
-                os.path.join(sf_dir, "embeddings.parquet"),
-                columns=["vec_id", "embedding"],
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        pf = pq.ParquetFile(path)
+        chunks, have = [], 0
+        for rg in range(pf.num_row_groups):
+            chunks.append(
+                pf.read_row_group(rg, columns=["vec_id", "embedding"])
+                .to_pandas()
             )
-            .to_pandas()
+            have += len(chunks[-1])
+            if have >= _IVF_FIT_MAX_ROWS:
+                break
+        tb = (
+            pd.concat(chunks, ignore_index=True)
             .sort_values("vec_id")
+            .head(_IVF_FIT_MAX_ROWS)
         )
         mat = np.vstack(tb["embedding"].to_numpy())
+        q = pq.read_table(
+            path, columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        ).to_pandas()
         _IVF_CENTROID_CACHE[sf_dir] = (
             similarity.kmeans_centroids(
                 mat, _IVF["k_lists"], _IVF["iters"], _IVF["seed"]
             ),
-            np.asarray(
-                tb.loc[tb["vec_id"] == 0, "embedding"].iloc[0], dtype=float
-            ),
+            np.asarray(q["embedding"].iloc[0], dtype=float),
         )
     return _IVF_CENTROID_CACHE[sf_dir]
 
@@ -1160,6 +1297,85 @@ def _q_streaming_window_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_lsh_candidates(spark, sf_dir):
+    """SECOND real Structured-Streaming oracle: the documents table read as
+    an availableNow file stream → featurize → MinHash band keys →
+    ``applyInPandasWithState`` cross-batch LSH candidate alerts
+    (streaming.stateful_near_dup_candidates), append-mode memory sink.
+
+    Deterministic by construction: one parquet file = one micro-batch, the
+    detector sorts each bucket's arrivals by fid before replaying them
+    through the bounded state, so the emitted (fid, match_fid) rows are
+    exactly {m < f, rank(m) ≤ max_state_fids} per (band, khash) bucket —
+    which the DuckDB twin reproduces from the HUGEINT band-hash replay."""
+    import uuid
+
+    from libpostal_spark import streaming as ST
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    files = dedup.docs_as_files(src)
+    out = ST.stateful_near_dup_candidates(files, _cfg_sha())
+    name = f"lsh_alerts_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows, sschema = sink.collect(), sink.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, sschema).select(
+        F.col("band").cast("int").alias("band"),
+        F.col("khash").cast("long").alias("khash"),
+        "fid",
+        "match_fid",
+    )
+
+
+def _streaming_lsh_sql() -> str:
+    """DuckDB twin: HUGEINT replay of the MinHash band keys (sha-mode, the
+    same machinery as the lsh_candidate_pairs twin) over ALL documents (the
+    stream does not contract exact duplicates), then the detector's
+    deterministic emission rule per bucket: every pair (match < fid) whose
+    stored member ranks within the state cap."""
+    from libpostal_spark import sqltwin
+
+    cfg = _cfg_sha()
+    ctes, band_final = sqltwin._feature_ctes(_canon_expr("text"), cfg)
+    signed = sqltwin._signed
+    return f"""
+WITH {ctes},
+fids AS (SELECT doc_id,
+                sha256(source || chr(0) || CAST(doc_id AS VARCHAR)
+                       || chr(0) || '0') AS fid
+         FROM documents),
+bk AS (SELECT f.fid, CAST(b.band AS INT) AS band, {signed('b.x')} AS khash
+       FROM {band_final} b JOIN fids f USING (doc_id)),
+rnk AS (SELECT fid, band, khash,
+               row_number() OVER (PARTITION BY band, khash
+                                  ORDER BY fid) AS rn
+        FROM bk)
+SELECT a.band AS band, a.khash AS khash, b.fid AS fid, a.fid AS match_fid
+FROM rnk a JOIN rnk b
+  ON a.band = b.band AND a.khash = b.khash AND a.fid < b.fid
+WHERE a.rn <= 32
+"""
+
+
 _STREAM_WINDOW_SQL = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
@@ -1273,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronym_alignments": _q_acronym_pairs,
         "affine_gap_alignment": _q_affine_gap,
         "double_metaphone": _q_double_metaphone,
+        "multiword_alignments": _q_multiword,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1286,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_features": _q_media_features,
         "media_real_decode": _q_media_real_decode,
         "streaming_window_stats": _q_streaming_window_stats,
+        "streaming_lsh_candidates": _q_streaming_lsh_candidates,
         "token_freq_topk": _q_token_freq_topk,
         "source_length_stats": _q_source_length_stats,
         "dedup_rate": _q_dedup_rate,
@@ -1857,11 +2075,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "streaming_window_stats": _STREAM_WINDOW_SQL,
+        "streaming_lsh_candidates": _streaming_lsh_sql(),
         "string_similarity_adjacent": _STRSIM_SQL,
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
         "acronym_alignments": _acronym_sql(),
         "affine_gap_alignment": _affine_gap_sql(),
         "double_metaphone": _dm_sql(),
+        "multiword_alignments": _mw_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

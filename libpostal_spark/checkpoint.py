@@ -111,10 +111,20 @@ def input_fingerprint(files: DataFrame) -> str:
                         f"{p}\x00{st.getLen()}\x00{st.getModificationTime()}\n".encode()
                     )
             return f"meta:{len(paths)}:{h.hexdigest()[:16]}"
-        except Exception:
+        except Exception as ex:
             # a listed file vanished (or a stat RPC failed) mid-fingerprint:
-            # fall through to the content scan rather than crash the resume
-            pass
+            # fall through to the content scan rather than crash the resume.
+            # Logged loudly — a PERSISTENT stat failure (filesystem auth or
+            # misconfig) would otherwise silently demote every resume to a
+            # full-input content scan with no diagnostic trail.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "input_fingerprint: stat failed (%s: %s); falling back to "
+                "full content scan — resumes will re-hash the entire input",
+                type(ex).__name__,
+                ex,
+            )
     row = files.agg(
         F.count("*").alias("c"),
         F.coalesce(F.expr("bit_xor(xxhash64(*))"), F.lit(0)).alias("h"),

@@ -57,7 +57,8 @@ def _compact_alphabet(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndar
 
 
 def levenshtein_batch(s1: pd.Series, s2: pd.Series, max_len: int = 32) -> np.ndarray:
-    """Classic edit distance per pair, batch-vectorized (rolling 2-row dp)."""
+    """Classic edit distance per pair, batch-vectorized (full dp matrix —
+    per-pair answers are read at (la, lb), see the in-body note)."""
     a, la = _codes(s1, max_len, _SENT_A)
     b, lb = _codes(s2, max_len, _SENT_B)
     B, m, n = len(la), a.shape[1], b.shape[1]

@@ -5,14 +5,24 @@ else is JVM-side DataFrame expressions. This mirrors how the reference is
 "one big UDF library" consumed from a MapReduce driver (SURVEY.md §2.9), but
 batched over Arrow instead of row-at-a-time C calls.
 
-Design note (scale): the featurize UDF emits only FIXED-WIDTH features —
-band hashes, simhash, simhash table keys, winnow fingerprints, counts. The
-full shingle set (KBs per row) is never shipped through Arrow, cached, or
-shuffled; the verify stage re-derives shingle sets from canon strings for
-just the candidate pairs (see make_pair_jaccard_udf). At 10^12 rows this is
-the difference between a ~300 B/row and a ~10 KB/row signatures table. The
-raw 128-perm MinHash signature can be emitted for debugging/parity with
-FIXTURES.md §4 via emit_minhash=True.
+Design note (scale): the featurize UDF always emits the FIXED-WIDTH
+features — band hashes, simhash, simhash table keys, winnow fingerprints,
+counts. Whether the full sorted shingle-hash array is ALSO emitted is the
+``PipelineConfig.store_shingles`` trade:
+
+* store_shingles=False (default): the lean ~300 B/row signature profile;
+  the verify stage re-derives shingle sets from canon strings for just the
+  candidate pairs (make_pair_confirm_udf, per-batch dedup) — pay CPU per
+  pair, not bytes per row. Wins outright on this bandwidth-starved sandbox
+  (measured A/B in config.py) and is the only sane profile for 10^12-row
+  signature tables.
+* store_shingles=True: signatures carry ~8B × n_shingles extra per row,
+  and the pairwise confirm is pure JVM (array_intersect Jaccard) — no
+  Python touch for jaccard-decided pairs. The better trade on CPU-bound,
+  bandwidth-generous clusters.
+
+Results are identical either way. The raw 128-perm MinHash signature can be
+emitted for debugging/parity with FIXTURES.md §4 via emit_minhash=True.
 """
 
 from __future__ import annotations
@@ -29,7 +39,9 @@ from ..core.canonicalize import canonicalize_batch
 from ..core.featurize import featurize, pair_jaccard_batch, pair_lcs_batch
 
 
-def feature_schema(emit_minhash: bool = False) -> T.StructType:
+def feature_schema(
+    emit_minhash: bool = False, emit_shingles: bool = False
+) -> T.StructType:
     fields = [
         T.StructField("canon", T.StringType()),
         T.StructField("n_tokens", T.IntegerType()),
@@ -39,6 +51,8 @@ def feature_schema(emit_minhash: bool = False) -> T.StructType:
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
         T.StructField("winnow", T.ArrayType(T.LongType())),
     ]
+    if emit_shingles:
+        fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
     if emit_minhash:
         fields.append(T.StructField("minhash", T.ArrayType(T.LongType())))
     return T.StructType(fields)
@@ -85,7 +99,9 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
     (pid, rows, seconds) — the diagnostic for cold-worker page-fault storms.
     """
 
-    @F.pandas_udf(feature_schema(emit_minhash))
+    emit_shingles = cfg.store_shingles
+
+    @F.pandas_udf(feature_schema(emit_minhash, emit_shingles))
     def featurize_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         import os as _os
         import time as _time
@@ -114,6 +130,8 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
                 "simhash_keys": list(f.simhash_keys),
                 "winnow": f.winnow,
             }
+            if emit_shingles:
+                out["shingles"] = f.shingles
             if emit_minhash:
                 out["minhash"] = list(f.minhash.view(np.int64))
             if log_path:
@@ -273,6 +291,46 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
             )
 
     return pair_confirm_udf
+
+
+def make_pair_lcs_udf(cfg: PipelineConfig):
+    """(canon1, canon2) -> struct(lcs_tokens, lcs_exhausted) for the rows
+    where both canons are non-null; (-1, false) otherwise.
+
+    The JVM-confirm path's Python remnant: jaccard and the winnow-overlap
+    gate are computed JVM-side from stored shingle/winnow arrays, and canon
+    strings are NULLED OUT (F.when) for every pair the gate doesn't select —
+    so the Arrow transfer and the run verification (pair_lcs_batch) touch
+    only the rare winnow-hit, sub-threshold pairs.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("lcs_tokens", T.IntegerType()),
+            T.StructField("lcs_exhausted", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def pair_lcs_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        for c1, c2 in it:
+            n = len(c1)
+            lcs = np.full(n, -1, dtype=np.int32)
+            exh = np.zeros(n, dtype=bool)
+            need = c1.notna().to_numpy() & c2.notna().to_numpy()
+            if need.any():
+                res = pair_lcs_batch(c1[need], c2[need], cfg, with_flags=True)
+                lcs[need] = res["run"].to_numpy()
+                exh[need] = res["exhausted"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "lcs_tokens": pd.Series(lcs),
+                    "lcs_exhausted": pd.Series(exh),
+                }
+            )
+
+    return pair_lcs_udf
 
 
 def make_expand_udf(

@@ -54,10 +54,12 @@ def signatures(
 ) -> DataFrame:
     """files → one row per fid: canon text + fixed-width signature features.
 
-    Shingle sets are deliberately NOT materialized (see
-    functions/udfs.py design note) — verify re-derives them per candidate
-    pair from `canon`. emit_minhash=True adds the raw 128-perm signature
-    column for debugging/FIXTURES §4 parity.
+    With cfg.store_shingles (opt-in) the sorted-distinct shingle-hash
+    array is materialized per row so the confirm stage runs JVM-side; by
+    default verify re-derives shingle sets per candidate pair from `canon`
+    (the lean-signature trade — see the functions/udfs.py design note).
+    emit_minhash=True adds the raw 128-perm signature column for
+    debugging/FIXTURES §4 parity.
     """
     feat_udf = make_featurize_udf(cfg, emit_minhash)
     df = files if ids_added else with_ids(files)
@@ -76,22 +78,45 @@ def signatures(
         F.col("f.simhash_keys").alias("simhash_keys"),
         F.col("f.winnow").alias("winnow"),
     ]
+    if cfg.store_shingles:
+        cols.append(F.col("f.shingles").alias("shingles"))
     if emit_minhash:
         cols.append(F.col("f.minhash").alias("minhash"))
     return df.select(*cols).withColumn("config_hash", F.lit(cfg.config_hash))
 
 
-def exact_rep_frame(sigs: DataFrame) -> DataFrame:
+def exact_rep_frame(sigs: DataFrame, ided: DataFrame | None = None) -> DataFrame:
     """sigs + rep_fid (min fid per sha256 class) — the ONE frame the whole
     downstream pipeline fans out from.
 
-    The caller persists+counts THIS frame (featurize UDF + the single sha256
-    window shuffle materialize together in one job); rep_sigs, exact_edges,
+    The caller persists+counts THIS frame (featurize UDF + the sha256
+    contraction materialize together in one job); rep_sigs, exact_edges,
     and the label universe are all cheap filters over the warm cache, so no
     later stage ever recomputes the UDF chain or re-shuffles on sha256.
+
+    Pass ``ided`` (the with_ids frame the signatures were built from) to
+    derive the (sha256 → min fid) rep map from the CHEAP JVM sha2 pass
+    instead of windowing over the full signature rows: the agg shuffles
+    ~128 B/row instead of the multi-KB signature payload, and AQE turns the
+    join back onto sigs into a broadcast when the rep map fits (one pass,
+    ZERO full-row exchange) — falling back to a sort-merge join at
+    10^12-row scale, which is exactly what the window cost anyway. Without
+    ``ided`` the single-input window form is used (correct for any sigs
+    frame, at full-payload shuffle cost).
     """
-    w = Window.partitionBy("sha256")
-    return sigs.withColumn("rep_fid", F.min("fid").over(w))
+    if ided is None:
+        w = Window.partitionBy("sha256")
+        return sigs.withColumn("rep_fid", F.min("fid").over(w))
+    rep = (
+        ided.select(F.col("sha256").alias("rep_sha"), "fid")
+        .groupBy("rep_sha")
+        .agg(F.min("fid").alias("rep_fid"))
+    )
+    # null-safe equality: a (theoretical) null-content row must stay in the
+    # frame exactly as the window form keeps it, not drop out of the join
+    return sigs.join(
+        rep, F.col("sha256").eqNullSafe(F.col("rep_sha"))
+    ).drop("rep_sha")
 
 
 def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:

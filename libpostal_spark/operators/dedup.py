@@ -355,7 +355,7 @@ def acronym_pairs(docs: DataFrame, text_col: str = "text",
                  a -> length(a) >= 2 AND length(a) <= 6
                       AND a rlike '^[a-z]+$'),
           a -> size(bt) >= length(a) AND exists(
-                 sequence(1, size(bt) - length(a) + 1),
+                 sequence(1, greatest(size(bt) - length(a) + 1, 1)),
                  i -> array_join(
                         transform(slice(bt, i, length(a)),
                                   t -> substring(t, 1, 1)), '') = a)))
@@ -375,6 +375,131 @@ def acronym_pairs(docs: DataFrame, text_col: str = "text",
         "doc_id2",
         F.size("matched").cast("long").alias("n_acronyms"),
         F.array_join("matched", ",").alias("acronyms"),
+    )
+
+
+_MW_MAX_TOKENS = 16
+
+
+def _mw_tokens_expr(text_col: str) -> str:
+    return (
+        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f" t -> length(t) > 0), 1, {_MW_MAX_TOKENS})"
+    )
+
+
+def multiword_alignment_expr(short_col: str, long_col: str) -> str:
+    """SQL fragment: multi-word token alignments of ``short_col`` (fewer,
+    possibly-concatenated tokens) against ``long_col`` (more tokens).
+
+    Reference: ``multi_word_token_alignments``
+    (/root/reference/src/string_similarity.c:590-680) — "Sea World" aligns
+    with "Seaworld". For each token of the SHORT side, scan the LONG side
+    left to right, greedily consuming tokens whose concatenation spells the
+    short token; record an alignment when the spelling completes across
+    MORE THAN ONE long token. The reference's sequential-scan quirks are
+    kept: a long token consumed by a failed partial match is NOT retried as
+    a new start (no backtracking — "abc" finds nothing in "ab ab c"), and a
+    whole-token exact equality (one-token spelling) is never an alignment.
+    One knowing divergence: the reference carries a stale ``phrase_start``
+    across short tokens when a partial match is still open at end-of-scan
+    (plainly unintended); this scan starts each short token fresh.
+
+    Output: array<struct<long_start:int, long_len:int, short_idx:int>>,
+    positions 0-based — the (phrase_start, len, data=i) triple of the
+    reference's phrase_t. Pure JVM higher-order functions (aggregate is the
+    stateful left fold), fully SQL-expressible for oracle replay.
+    """
+    tj = f"element_at({long_col}, j + 1)"
+    started = "(CASE WHEN acc.start < 0 THEN j ELSE acc.start END)"
+    return f"""
+      flatten(transform({short_col}, (st, si) ->
+        transform(
+          aggregate(
+            sequence(0, size({long_col}) - 1),
+            named_struct('pos', 0, 'start', -1,
+                         'outs', cast(array() as array<struct<ls:int, ll:int>>)),
+            (acc, j) -> CASE
+              WHEN substring(st, acc.pos + 1, length({tj})) = {tj}
+              THEN CASE
+                WHEN acc.pos + length({tj}) = length(st)
+                     AND j - {started} > 0
+                THEN named_struct('pos', 0, 'start', -1,
+                       'outs', acc.outs || array(named_struct(
+                         'ls', {started}, 'll', j - {started} + 1)))
+                ELSE named_struct('pos', acc.pos + length({tj}),
+                       'start', {started}, 'outs', acc.outs)
+              END
+              ELSE named_struct('pos', 0, 'start', -1, 'outs', acc.outs)
+            END,
+            acc -> acc.outs),
+          o -> named_struct('long_start', o.ls, 'long_len', o.ll,
+                            'short_idx', si))))
+    """
+
+
+def multiword_alignments(
+    df: DataFrame, col_a: str = "ta", col_b: str = "tb"
+) -> DataFrame:
+    """Add ``mw_alignments`` to a frame of token-array pairs.
+
+    Mirrors the reference's entry conditions: equal token counts → no
+    alignments (empty array; the reference returns NULL); otherwise the
+    shorter array is the spelled side. See ``multiword_alignment_expr``.
+    """
+    short_c = F.when(
+        F.size(col_a) < F.size(col_b), F.col(col_a)
+    ).otherwise(F.col(col_b))
+    long_c = F.when(
+        F.size(col_a) < F.size(col_b), F.col(col_b)
+    ).otherwise(F.col(col_a))
+    out = (
+        df.withColumn("mw_short", short_c)
+        .withColumn("mw_long", long_c)
+        .withColumn(
+            "mw_alignments",
+            F.when(
+                F.size(col_a) == F.size(col_b),
+                F.expr(
+                    "cast(array() as array<struct<long_start:int,"
+                    "long_len:int, short_idx:int>>)"
+                ),
+            ).otherwise(F.expr(multiword_alignment_expr("mw_short", "mw_long"))),
+        )
+    )
+    return out.drop("mw_short", "mw_long")
+
+
+def multiword_pairs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Multi-word alignments between adjacent doc pairs (the Soft-TFIDF
+    match rung the reference wires through soft_tfidf.c:466-588).
+
+    Token streams are the first ``_MW_MAX_TOKENS`` whitespace tokens
+    (bounded work per pair). Output: doc_id1, doc_id2, n_alignments,
+    alignments ("start:len:idx" comma-joined, scan order).
+    """
+    a = docs.select(
+        F.col(id_col).cast("long").alias("doc_id1"),
+        F.expr(_mw_tokens_expr(text_col)).alias("ta"),
+    )
+    b = docs.select(
+        (F.col(id_col).cast("long") - 1).alias("doc_id1"),
+        F.col(id_col).cast("long").alias("doc_id2"),
+        F.expr(_mw_tokens_expr(text_col)).alias("tb"),
+    )
+    joined = multiword_alignments(a.join(b, "doc_id1"), "ta", "tb")
+    return joined.select(
+        "doc_id1",
+        "doc_id2",
+        F.size("mw_alignments").cast("long").alias("n_alignments"),
+        F.array_join(
+            F.expr(
+                "transform(mw_alignments, o -> concat(o.long_start, ':',"
+                " o.long_len, ':', o.short_idx))"
+            ),
+            ",",
+        ).alias("alignments"),
     )
 
 

@@ -67,23 +67,30 @@ def cosine_pairs(
     n_bits: int = 4,
     seed: int = 42,
     method: str = "auto",
+    max_exact_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1 < id2, cos_sim) with
     cos >= threshold.
 
     ``method`` makes the exact/approximate contract explicit:
 
-    * ``"exact"`` — always the exact path; raises ValueError above
-      max_exact_rows instead of degrading recall behind the caller's back.
+    * ``"exact"`` — always the exact path; raises ValueError above the
+      exact-path caps instead of degrading recall behind the caller's back.
     * ``"lsh"`` — always the bucketed approximate path.
     * ``"auto"`` (default) — route by corpus size as below, emitting a
-      ``UserWarning`` when the size cap flips the result from exact to
+      ``UserWarning`` when a cap flips the result from exact to
       approximate (pairs sharing no LSH table key are dropped), so the
       switch is never silent.
 
-    Two physical strategies, routed by corpus size:
+    The exact path's real cost is the broadcast matrix — rows × dim × 8
+    bytes shipped to every executor — so routing gates on BOTH the row cap
+    and ``max_exact_bytes`` (256 MB default): 200k rows of dim-64 vectors
+    broadcast ~100 MB, but the same rows at dim 1536 would be ~2.4 GB and
+    route to the bucketed path.
 
-    * n <= max_exact_rows — EXACT over the full pair universe: broadcast the
+    Two physical strategies:
+
+    * within both caps — EXACT over the full pair universe: broadcast the
       normalized embedding matrix and score each partition's rows against it
       with one BLAS matmul inside mapInPandas (O(n²) flops at
       memory-bandwidth speed; a JVM zip_with/aggregate fold computes the
@@ -107,22 +114,32 @@ def cosine_pairs(
             embeddings, threshold, id_col=id_col, dim=dim,
             n_tables=n_tables, n_bits=n_bits, seed=seed,
         )
-    if n_rows is None:
-        n_rows = embeddings.count()
-    if n_rows > max_exact_rows:
+    if n_rows is None or dim is None:
+        # one action covers both routing inputs (count + max dim)
+        r = embeddings.agg(
+            F.count("*").alias("n"), F.max(F.size("embedding")).alias("d")
+        ).collect()[0]
+        n_rows = int(r["n"]) if n_rows is None else n_rows
+        dim = int(r["d"] or 0) if dim is None else dim
+    est_bytes = n_rows * (dim or 0) * 8
+    if n_rows > max_exact_rows or est_bytes > max_exact_bytes:
+        reason = (
+            f"{n_rows} rows > max_exact_rows={max_exact_rows}"
+            if n_rows > max_exact_rows
+            else f"broadcast estimate {est_bytes >> 20} MB (rows×dim×8) > "
+            f"max_exact_bytes={max_exact_bytes >> 20} MB"
+        )
         if method == "exact":
             raise ValueError(
-                f"cosine_pairs(method='exact'): {n_rows} rows exceed "
-                f"max_exact_rows={max_exact_rows}; use method='lsh' (or "
-                "raise the cap) — refusing to silently degrade recall"
+                f"cosine_pairs(method='exact'): {reason}; use method='lsh' "
+                "(or raise the cap) — refusing to silently degrade recall"
             )
         import warnings
 
         warnings.warn(
-            f"cosine_pairs: {n_rows} rows > max_exact_rows="
-            f"{max_exact_rows}; routing to the APPROXIMATE LSH-bucketed "
-            "path (pairs sharing no LSH table key are dropped). Pass "
-            "method='exact'/'lsh' to pin the strategy.",
+            f"cosine_pairs: {reason}; routing to the APPROXIMATE "
+            "LSH-bucketed path (pairs sharing no LSH table key are "
+            "dropped). Pass method='exact'/'lsh' to pin the strategy.",
             UserWarning,
             stacklevel=2,
         )

@@ -38,12 +38,24 @@ def verified_pairs(
     pairs: DataFrame, rep_sigs: DataFrame, cfg: PipelineConfig,
     with_graded: bool = False,
 ):
-    """Join shingle/winnow sets onto each side and confirm.
+    """Join signature columns onto each side and confirm.
 
     Output: fid1, fid2, jaccard, source, sources (kind provenance),
     lcs_tokens, lcs_exhausted, status. The two joins shuffle on fid — at
     scale, rep_sigs is bucketed by fid so both probes co-locate; AQE
     handles residual skew.
+
+    Two execution strategies, identical results (cfg.store_shingles):
+
+    * rep_sigs carries ``shingles`` → **JVM confirm**: exact Jaccard is
+      ``size(array_intersect)`` over the stored sorted-distinct arrays —
+      whole-stage-codegen, zero Python, zero Arrow transfer for
+      jaccard-decided pairs. Canon strings are nulled (``F.when``) for
+      every pair except winnow-hit sub-threshold ones, so the run-verify
+      UDF's Arrow input is almost entirely nulls.
+    * no ``shingles`` column → **fused Python confirm**: one Arrow pass
+      re-derives shingle sets from canon per pair (per-batch dedup) and
+      runs the substring verifier inline (make_pair_confirm_udf).
 
     ``with_graded=True`` additionally returns the PRE-filter graded frame
     ``(confirmed, graded)``: an adversarial pair whose alignment budget was
@@ -52,40 +64,74 @@ def verified_pairs(
     ``graded.filter("lcs_exhausted AND lcs_tokens < bar")``, which makes
     the one theoretically-silent truncation in the confirm rule queryable.
     """
-    from ..functions.udfs import make_pair_confirm_udf
+    from ..functions.udfs import make_pair_confirm_udf, make_pair_lcs_udf
 
+    jvm_confirm = "shingles" in rep_sigs.columns
+    side_cols = ["canon", "winnow"] + (["shingles"] if jvm_confirm else [])
     s1 = rep_sigs.select(
         F.col("fid").alias("fid1"),
-        F.col("canon").alias("canon1"),
-        F.col("winnow").alias("wn1"),
+        *[F.col(c).alias(f"{c}1") for c in side_cols],
     )
     s2 = rep_sigs.select(
         F.col("fid").alias("fid2"),
-        F.col("canon").alias("canon2"),
-        F.col("winnow").alias("wn2"),
+        *[F.col(c).alias(f"{c}2") for c in side_cols],
     )
     joined = pairs.join(s1, "fid1").join(s2, "fid2")
-    # winnow overlap is checked JVM-side on the stored fingerprints; ONE
-    # fused Arrow pass then computes exact Jaccard for every pair plus the
-    # exact substring verification (rolling-window match + token verify +
-    # extend) for winnow-only rows. A winnow hit is ACCEPTED only when the
-    # verified common run really reaches winnow_window — the measured (not
-    # w.h.p.) form of the long-clone rule. lcs_tokens = -1 marks rows where
-    # the run check was skipped (jaccard already decided).
-    confirm_udf = make_pair_confirm_udf(cfg)
-    graded = (
-        joined.withColumn("substring_hit", F.arrays_overlap("wn1", "wn2"))
-        .withColumn(
-            "c",
-            confirm_udf(F.col("canon1"), F.col("canon2"), F.col("substring_hit")),
+    if jvm_confirm:
+        # Exact Jaccard fully JVM-side: the arrays are sorted-distinct, so
+        # |A∪B| = |A|+|B|-|A∩B|; both-empty pairs are 1.0 by convention
+        # (matches core/featurize.jaccard). The run verification (rolling
+        # window match + token verify + extension) still needs token
+        # sequences, so ONLY winnow-hit pairs below the jaccard bar get
+        # their canons shipped to Python — everything else sends nulls.
+        inter = F.size(F.array_intersect("shingles1", "shingles2"))
+        denom = F.size("shingles1") + F.size("shingles2") - inter
+        jac = F.when(denom == 0, F.lit(1.0)).otherwise(
+            inter.cast("double") / denom.cast("double")
         )
-        .select(
-            "fid1", "fid2", "source", "sources",
-            F.col("c.jaccard").alias("jaccard"),
+        base = joined.withColumn("jaccard", jac).withColumn(
+            "substring_hit", F.arrays_overlap("winnow1", "winnow2")
+        )
+        need = F.col("substring_hit") & (
+            F.col("jaccard") < F.lit(cfg.jaccard_threshold)
+        )
+        lcs_udf = make_pair_lcs_udf(cfg)
+        graded = base.withColumn(
+            "c",
+            lcs_udf(
+                F.when(need, F.col("canon1")), F.when(need, F.col("canon2"))
+            ),
+        ).select(
+            "fid1", "fid2", "source", "sources", "jaccard",
             F.col("c.lcs_tokens").alias("lcs_tokens"),
             F.col("c.lcs_exhausted").alias("lcs_exhausted"),
         )
-    )
+    else:
+        # winnow overlap is checked JVM-side on the stored fingerprints; ONE
+        # fused Arrow pass then computes exact Jaccard for every pair plus
+        # the exact substring verification for winnow-only rows. A winnow
+        # hit is ACCEPTED only when the verified common run really reaches
+        # the guarantee bar — the measured (not w.h.p.) form of the
+        # long-clone rule. lcs_tokens = -1 marks rows where the run check
+        # was skipped (jaccard already decided).
+        confirm_udf = make_pair_confirm_udf(cfg)
+        graded = (
+            joined.withColumn(
+                "substring_hit", F.arrays_overlap("winnow1", "winnow2")
+            )
+            .withColumn(
+                "c",
+                confirm_udf(
+                    F.col("canon1"), F.col("canon2"), F.col("substring_hit")
+                ),
+            )
+            .select(
+                "fid1", "fid2", "source", "sources",
+                F.col("c.jaccard").alias("jaccard"),
+                F.col("c.lcs_tokens").alias("lcs_tokens"),
+                F.col("c.lcs_exhausted").alias("lcs_exhausted"),
+            )
+        )
     confirmed = graded.filter(
         (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
         | (F.col("lcs_tokens") >= F.lit(cfg.winnow_guarantee))

