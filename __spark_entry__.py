@@ -824,6 +824,147 @@ def _mw_sql() -> str:
     """
 
 
+# Toponym place-pair fixtures: 12 components per row =
+# (city1, city_district1, suburb1, state_district1, state1, country1,
+#  city2, city_district2, suburb2, state_district2, state2, country2).
+# Exercise every branch of the reference lattice (dedupe.c:158-229): exact
+# city, district/suburb downgrade rungs, the city1-vs-district2 and
+# suburb1-vs-suburb2 branches (quirks preserved), containing-region vetoes,
+# and dictionary-expansion equality ("st louis" = "saint louis"). The twin
+# RECOMPUTES the status from the same fixtures (replace-chain expansion +
+# the lattice in SQL) — a replay oracle, not a golden table.
+_TOPO_DICT = {"st": "saint", "mt": "mount", "ft": "fort", "pt": "port",
+              "n": "north"}
+_TOPO_FIXTURES = [
+    ("springfield", None, None, None, None, None,
+     "springfield", None, None, None, None, None),
+    ("st louis", None, None, None, None, None,
+     "saint louis", None, None, None, None, None),
+    (None, "brooklyn", None, None, None, None,
+     "brooklyn", None, None, None, None, None),
+    (None, None, "astoria", None, None, None,
+     "astoria", None, None, None, None, None),
+    ("queens", None, None, None, None, None,
+     None, "queens", None, None, None, None),
+    ("metropolis", None, "riverdale", None, None, None,
+     None, None, "riverdale", None, None, None),
+    ("springfield", None, None, None, "ny", None,
+     "springfield", None, None, None, "ca", None),
+    ("springfield", None, None, "x dist", None, None,
+     "springfield", None, None, "y dist", None, None),
+    ("springfield", None, None, None, None, "usa",
+     "springfield", None, None, None, None, "usa"),
+    ("springfield", None, None, None, None, "usa",
+     "springfield", None, None, None, None, "canada"),
+    ("albany", None, None, None, None, None,
+     "troy", None, None, None, None, None),
+    ("albany", "troy", None, None, None, None,
+     "troy", None, None, None, None, None),
+    ("mt vernon", None, None, None, "n carolina", None,
+     "mount vernon", None, None, None, "north carolina", None),
+    (None, None, None, None, None, None,
+     "springfield", None, None, None, None, None),
+    ("ft wayne", None, None, "n dist", None, None,
+     "fort wayne", None, None, "north dist", None, None),
+    ("pt chester", None, None, None, None, None,
+     None, None, "pt chester", None, None, None),
+]
+_TOPO_COLS = [
+    f"{f}{s}"
+    for s in ("1", "2")
+    for f in ("city", "city_district", "suburb", "state_district", "state",
+              "country")
+]
+
+
+def _q_toponym_status(spark, sf_dir):
+    """is_toponym_duplicate parity (operators/verify.toponym_status_pairs;
+    reference src/dedupe.c:158-229) over deterministic place-pair
+    fixtures."""
+    from libpostal_spark.operators import verify as V
+
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_TOPO_FIXTURES))) + 1
+    ).cast("int")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.element_at(
+                F.array(*[F.lit(row[i]).cast("string")
+                          for row in _TOPO_FIXTURES]),
+                idx,
+            ).alias(col)
+            for i, col in enumerate(_TOPO_COLS)
+        ],
+    )
+    out = V.toponym_status_pairs(base, expansions=_TOPO_DICT)
+    return out.select("doc_id", "city1", "city2", "topo_status")
+
+
+def _topo_sql() -> str:
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+
+    n = len(_TOPO_FIXTURES)
+    mod = f"CAST(doc_id AS BIGINT) % {n}"
+
+    def case(i) -> str:
+        whens = " ".join(
+            f"WHEN {j} THEN "
+            + ("NULL" if row[i] is None else _sql_quote(row[i]))
+            for j, row in enumerate(_TOPO_FIXTURES)
+        )
+        return f"CASE {mod} {whens} END"
+
+    def exp(col: str) -> str:
+        e = f"' ' || replace({_canon_expr(col)}, ' ', '  ') || ' '"
+        for k, v in phrase_priority_order(dict(_TOPO_DICT)):
+            pat = " " + k.replace(" ", "  ") + " "
+            rep = " " + v.replace(" ", "  ") + " "
+            e = f"replace({e}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+        return f"trim(regexp_replace({e}, ' +', ' ', 'g'))"
+
+    raw = ", ".join(
+        f"{case(i)} AS {col}" for i, col in enumerate(_TOPO_COLS)
+    )
+    exps = ", ".join(
+        f"{exp(c)} AS e_{c}"
+        for c in _TOPO_COLS
+    )
+    m1 = "city1 IS NOT NULL AND city2 IS NOT NULL AND e_city1 = e_city2"
+    m2 = ("city1 IS NULL AND city_district1 IS NOT NULL AND city2 IS NOT "
+          "NULL AND e_city_district1 = e_city2")
+    m3 = ("city1 IS NULL AND suburb1 IS NOT NULL AND city2 IS NOT NULL "
+          "AND e_suburb1 = e_city2")
+    m4 = ("city2 IS NULL AND city_district2 IS NOT NULL AND city1 IS NOT "
+          "NULL AND e_city1 = e_city_district2")
+    m5 = ("city2 IS NULL AND suburb2 IS NOT NULL AND city1 IS NOT NULL "
+          "AND suburb1 IS NOT NULL AND e_suburb1 = e_suburb2")
+    veto = (
+        "(state_district1 IS NOT NULL AND state_district2 IS NOT NULL AND "
+        "e_state_district1 <> e_state_district2) OR "
+        "(state1 IS NOT NULL AND state2 IS NOT NULL AND e_state1 <> e_state2)"
+        " OR (country1 IS NOT NULL AND country2 IS NOT NULL AND "
+        "e_country1 <> e_country2)"
+    )
+    return f"""
+WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {raw} FROM documents),
+e AS (SELECT *, {exps} FROM p),
+s AS (SELECT *,
+        CASE WHEN {m1} THEN 'exact_duplicate'
+             WHEN {m2} THEN 'likely_duplicate'
+             WHEN {m3} THEN 'needs_review'
+             WHEN {m4} THEN 'likely_duplicate'
+             WHEN {m5} THEN 'needs_review'
+             ELSE 'non_duplicate' END AS s0
+      FROM e)
+SELECT doc_id, city1, city2,
+       CASE WHEN s0 = 'non_duplicate' THEN s0
+            WHEN {veto} THEN 'non_duplicate'
+            ELSE s0 END AS topo_status
+FROM s
+"""
+
+
 def _q_soft_tfidf(spark, sf_dir):
     """Soft-TFIDF fuzzy pair scoring (the reference's soft_tfidf.c scorer)
     over adjacent doc pairs — integer-exact accumulation, see
@@ -1320,7 +1461,10 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
         .parquet(sf_dir)
     )
     files = dedup.docs_as_files(src)
-    out = ST.stateful_near_dup_candidates(files, _cfg_sha())
+    # first 4 of the 32 bands: each band is an independent LSH table, so
+    # the subset only bounds the harness query's state-store size (the
+    # full-width detector is pytest-covered); the twin filters identically
+    out = ST.stateful_near_dup_candidates(files, _cfg_sha(), bands_limit=4)
     name = f"lsh_alerts_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1364,7 +1508,8 @@ fids AS (SELECT doc_id,
                        || chr(0) || '0') AS fid
          FROM documents),
 bk AS (SELECT f.fid, CAST(b.band AS INT) AS band, {signed('b.x')} AS khash
-       FROM {band_final} b JOIN fids f USING (doc_id)),
+       FROM {band_final} b JOIN fids f USING (doc_id)
+       WHERE CAST(b.band AS INT) < 4),
 rnk AS (SELECT fid, band, khash,
                row_number() OVER (PARTITION BY band, khash
                                   ORDER BY fid) AS rn
@@ -1490,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine_gap_alignment": _q_affine_gap,
         "double_metaphone": _q_double_metaphone,
         "multiword_alignments": _q_multiword,
+        "toponym_status": _q_toponym_status,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2082,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "affine_gap_alignment": _affine_gap_sql(),
         "double_metaphone": _dm_sql(),
         "multiword_alignments": _mw_sql(),
+        "toponym_status": _topo_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": """

@@ -378,6 +378,49 @@ def acronym_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def phonetic_keys(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_tokens: int = 12,
+) -> DataFrame:
+    """Double-Metaphone blocking keys for name-like text — the reference
+    emits these per name word as an extra near-dupe key family
+    (src/near_dupe.c:389, codes from src/double_metaphone.c).
+
+    One row per (id, token position, code variant): kind='dm', kid = token
+    index, khash = xxhash64 of the primary or secondary code (distinct
+    variants only). Union this stream into a blocking key set to make
+    "Schmidt" collide with "Smith" (both emit XMT) the way the reference's
+    fuzzy name dedup does; downstream confirm still decides. Token stream
+    bounded to ``max_tokens`` per row.
+    """
+    from ..functions.udfs import make_double_metaphone_udf
+
+    udf = make_double_metaphone_udf()
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(
+            F.expr(
+                f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+                f" t -> length(t) > 0), 1, {max_tokens})"
+            )
+        ).alias("kid", "tok"),
+    )
+    coded = toks.withColumn("m", udf(F.col("tok")))
+    return (
+        coded.select(
+            "id", "kid",
+            F.explode(
+                F.array_distinct(F.array("m.primary", "m.secondary"))
+            ).alias("code"),
+        )
+        .filter(F.length("code") > 0)
+        .select(
+            "id", F.lit("dm").alias("kind"), "kid",
+            F.xxhash64("code").alias("khash"),
+        )
+    )
+
+
 _MW_MAX_TOKENS = 16
 
 

@@ -150,6 +150,87 @@ def verified_pairs(
     return confirmed
 
 
+_TOPO_FIELDS = ("city", "city_district", "suburb", "state_district", "state", "country")
+
+
+def toponym_status_pairs(
+    pairs: DataFrame, expansions: dict[str, str] | None = None
+) -> DataFrame:
+    """Reference parity for ``is_toponym_duplicate``
+    (/root/reference/src/dedupe.c:158-229): place-component cross-matching
+    with status downgrades and containing-region vetoes.
+
+    Input: one row per place pair with columns ``{field}1``/``{field}2``
+    for each of city, city_district, suburb, state_district, state,
+    country (NULL = component absent). Output adds ``topo_status``.
+
+    The reference's component equality is "expansion sets intersect"; with
+    a single-alternative dictionary (every shipped one) that is EQUIVALENT
+    to equality of fully-rewritten canonical forms — rewriting is
+    confluent, so both sides reduce to the same root iff any expansion
+    coincides — which is what this operator compares (the same reduction
+    the canonicalize_expanded twin replays in SQL). Full-form and
+    root-form equality coincide under the same condition, so the
+    state_district veto's root comparison uses the same canon.
+
+    The reference's exact branch structure is preserved, including its
+    quirks: a match is only attempted against the OTHER side's city when
+    this side's city is ABSENT (two differing cities are never rescued by
+    a district), branch 4 compares city1 to city_district2, and branch 5
+    compares suburb1 to suburb2 (as written at dedupe.c:201-207 — not
+    city1 to suburb2). Emits: exact_duplicate (city=city),
+    likely_duplicate (city=city_district), needs_review (suburb rungs),
+    non_duplicate otherwise or when a present-on-both-sides
+    state_district / state / country disagrees.
+    """
+    from ..functions.udfs import make_canonicalize_udf
+
+    canon_udf = make_canonicalize_udf(expansions=expansions)
+    df = pairs
+    for f in _TOPO_FIELDS:
+        for s in ("1", "2"):
+            df = df.withColumn(f"_c_{f}{s}", canon_udf(F.col(f + s)))
+
+    def present(name: str) -> Column:
+        return F.col(name).isNotNull()
+
+    def eq(f1: str, f2: str) -> Column:
+        return (
+            present(f1) & present(f2)
+            & (F.col(f"_c_{f1}") == F.col(f"_c_{f2}"))
+        )
+
+    m1 = eq("city1", "city2")
+    m2 = ~present("city1") & eq("city_district1", "city2")
+    m3 = ~present("city1") & eq("suburb1", "city2")
+    m4 = ~present("city2") & present("city_district2") & eq("city1", "city_district2")
+    m5 = ~present("city2") & present("suburb2") & present("city1") & eq(
+        "suburb1", "suburb2"
+    )
+    veto = (
+        (present("state_district1") & present("state_district2")
+         & ~eq("state_district1", "state_district2"))
+        | (present("state1") & present("state2") & ~eq("state1", "state2"))
+        | (present("country1") & present("country2")
+           & ~eq("country1", "country2"))
+    )
+    status = (
+        F.when(m1, F.lit(STATUS_EXACT))
+        .when(m2, F.lit(STATUS_LIKELY))
+        .when(m3, F.lit(STATUS_NEEDS_REVIEW))
+        .when(m4, F.lit(STATUS_LIKELY))
+        .when(m5, F.lit(STATUS_NEEDS_REVIEW))
+        .otherwise(F.lit(STATUS_NON))
+    )
+    out = df.withColumn(
+        "topo_status",
+        F.when(status == STATUS_NON, status)
+        .when(veto, F.lit(STATUS_NON))
+        .otherwise(status),
+    )
+    return out.drop(*[f"_c_{f}{s}" for f in _TOPO_FIELDS for s in ("1", "2")])
+
+
 # 4-level duplicate status, mirroring libpostal_duplicate_status_t
 # (/root/reference/src/libpostal.h:218-224; thresholds
 # /root/reference/src/libpostal.c:185-193). EXACT is assigned upstream by the
@@ -160,6 +241,7 @@ def verified_pairs(
 STATUS_EXACT = "exact_duplicate"
 STATUS_LIKELY = "likely_duplicate"
 STATUS_NEEDS_REVIEW = "needs_review"
+STATUS_NON = "non_duplicate"
 
 
 def status_expr(jaccard: Column, cfg: PipelineConfig) -> Column:

@@ -196,7 +196,8 @@ def windowed_event_stats(
 
 
 def stateful_near_dup_candidates(
-    stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32
+    stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32,
+    bands_limit: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate alerts with cross-batch LSH state.
 
@@ -223,6 +224,12 @@ def stateful_near_dup_candidates(
     keys = sigs.select(
         "fid", F.posexplode("bands").alias("band", "khash")
     )
+    if bands_limit is not None:
+        # bounded key-family subset: each band is an independent LSH table,
+        # so restricting to the first K bands only lowers the collision
+        # probability (1-(1-t^r)^K), it does not change any emitted pair's
+        # correctness. Callers trade recall for state-store size.
+        keys = keys.filter(F.col("band") < bands_limit)
 
     def track(key, pdfs, state: GroupState):
         band, khash = int(key[0]), int(key[1])
