@@ -403,8 +403,13 @@ def _langid_trigram_sql() -> str:
 
     The model fit — totals here AND the counts CTE below — is restricted to
     the same deterministic sample the Spark side uses (first
-    ``fit_max_docs`` = 1000 doc_ids in sort order), so the oracle contract
-    holds at ANY compare scale, not just ones below the sample bound."""
+    ``fit_max_docs`` = 1000 doc_ids in sort order). NOTE the remaining
+    scale coupling: the cross-multiplication multipliers are EMBEDDED
+    LITERALS computed from the sf0.01 table (the driver's fixed compare
+    scale) because an exact integer product aggregate is not available in
+    SQL — comparing at a different sf requires regenerating this twin
+    against that table. The counts CTE's sample restriction below keeps
+    the fit RULE aligned with the Spark side either way."""
     import pyarrow.parquet as pq
 
     fit_max_docs = 1000
@@ -616,16 +621,23 @@ def _q_affine_gap(spark, sf_dir):
     )
 
 
+def _case_by_doc_id(vals, n: int) -> str:
+    """CASE over ``CAST(doc_id AS BIGINT) % n`` selecting per-fixture SQL
+    literal expressions — the one shared builder behind every
+    fixture-table oracle twin (affine gap, metaphone, multiword, toponym),
+    so the modulus/tie rule can never drift between them."""
+    return (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+        + " END"
+    )
+
+
 def _affine_gap_sql() -> str:
     n = len(_AFFINE_GOLDENS)
-    mod = f"CAST(doc_id AS BIGINT) % {n}"
 
     def case(vals) -> str:
-        return (
-            f"CASE {mod} "
-            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
-            + " END"
-        )
+        return _case_by_doc_id(vals, n)
 
     s1 = case([_sql_quote(a) for a, _, _, _ in _AFFINE_GOLDENS])
     s2 = case([_sql_quote(b) for _, b, _, _ in _AFFINE_GOLDENS])
@@ -729,14 +741,9 @@ def _q_double_metaphone(spark, sf_dir):
 
 def _dm_sql() -> str:
     n = len(_DM_GOLDENS)
-    mod = f"CAST(doc_id AS BIGINT) % {n}"
 
     def case(vals) -> str:
-        return (
-            f"CASE {mod} "
-            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
-            + " END"
-        )
+        return _case_by_doc_id(vals, n)
 
     nm = case([_sql_quote(a) for a, _, _ in _DM_GOLDENS])
     pr = case([_sql_quote(p) for _, p, _ in _DM_GOLDENS])
@@ -803,14 +810,9 @@ def _q_multiword(spark, sf_dir):
 
 def _mw_sql() -> str:
     n = len(_MW_GOLDENS)
-    mod = f"CAST(doc_id AS BIGINT) % {n}"
 
     def case(vals) -> str:
-        return (
-            f"CASE {mod} "
-            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
-            + " END"
-        )
+        return _case_by_doc_id(vals, n)
 
     s1 = case([_sql_quote(a) for a, _, _, _ in _MW_GOLDENS])
     s2 = case([_sql_quote(b) for _, b, _, _ in _MW_GOLDENS])
@@ -905,15 +907,15 @@ def _topo_sql() -> str:
     from libpostal_spark.core.canonicalize import phrase_priority_order
 
     n = len(_TOPO_FIXTURES)
-    mod = f"CAST(doc_id AS BIGINT) % {n}"
 
     def case(i) -> str:
-        whens = " ".join(
-            f"WHEN {j} THEN "
-            + ("NULL" if row[i] is None else _sql_quote(row[i]))
-            for j, row in enumerate(_TOPO_FIXTURES)
+        return _case_by_doc_id(
+            [
+                "NULL" if row[i] is None else _sql_quote(row[i])
+                for row in _TOPO_FIXTURES
+            ],
+            n,
         )
-        return f"CASE {mod} {whens} END"
 
     def exp(col: str) -> str:
         e = f"' ' || replace({_canon_expr(col)}, ' ', '  ') || ' '"

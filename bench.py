@@ -168,6 +168,20 @@ def scaling_record(n_lo: int) -> dict:
     record (sec + seconds-into-bench) so the minimum is auditable.
     """
     n_hi = 4 * n_lo
+    if not (_SCALE_SAMPLES["lo"] and _SCALE_SAMPLES["hi"]):
+        # e.g. BENCH_SCALE_ROUNDS=0 with the spread blocks disabled: no
+        # samples were measured — report that instead of crashing on min()
+        return {
+            "mode": "partition_cap_same_jvm",
+            "cores_N": n_lo,
+            "cores_4N": n_hi,
+            "error": "no scaling samples measured "
+            "(check BENCH_SCALE_ROUNDS/BENCH_SCALE_SPREAD)",
+            "n_samples": {
+                "lo": len(_SCALE_SAMPLES["lo"]),
+                "hi": len(_SCALE_SAMPLES["hi"]),
+            },
+        }
     lo = min(s["sec"] for s in _SCALE_SAMPLES["lo"])
     hi = min(s["sec"] for s in _SCALE_SAMPLES["hi"])
     n_scale = _SCALE_NFILES[0]

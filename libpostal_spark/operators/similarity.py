@@ -103,9 +103,10 @@ def cosine_pairs(
       the module docstring — and never collects, broadcasts, or buckets
       more than one LSH bucket's pairs per task.
 
-    Pass n_rows to skip the routing count; dim is required only when it
-    can't be read off the first embedding (the LSH path needs the plane
-    shapes before any action).
+    Pass n_rows to skip the routing count (the byte gate then only engages
+    if dim is also passed — no hidden action is ever run for a caller that
+    supplied n_rows); dim is otherwise discovered by the same single agg,
+    and the LSH path needs it for the plane shapes before any action.
     """
     if method not in ("auto", "exact", "lsh"):
         raise ValueError(f"cosine_pairs: unknown method {method!r}")
@@ -114,13 +115,17 @@ def cosine_pairs(
             embeddings, threshold, id_col=id_col, dim=dim,
             n_tables=n_tables, n_bits=n_bits, seed=seed,
         )
-    if n_rows is None or dim is None:
+    if n_rows is None:
         # one action covers both routing inputs (count + max dim)
         r = embeddings.agg(
             F.count("*").alias("n"), F.max(F.size("embedding")).alias("d")
         ).collect()[0]
-        n_rows = int(r["n"]) if n_rows is None else n_rows
-        dim = int(r["d"] or 0) if dim is None else dim
+        n_rows = int(r["n"])
+        if dim is None:
+            dim = int(r["d"] or 0)
+    # callers that pass n_rows do so to SKIP the routing action — honor
+    # that: without a known dim the byte gate simply doesn't engage (the
+    # row cap still does); pass dim to arm it action-free
     est_bytes = n_rows * (dim or 0) * 8
     if n_rows > max_exact_rows or est_bytes > max_exact_bytes:
         reason = (

@@ -76,8 +76,6 @@ def test_release_callback_used():
 def test_release_caches_sweeps_everything():
     """The session-end hook (atexit-registered) must unpersist every cached
     frame across ALL entry caches and clear the value side-tables."""
-    import atexit
-
     E = _entry()
     E._SIG_SHA_CACHE.clear()
     E._PAIRS_CACHE.clear()
@@ -98,11 +96,28 @@ def test_release_caches_sweeps_everything():
         E._MAX_CLASS_CACHE, E._IVF_CENTROID_CACHE,
     ):
         assert not cache
-    # and it is registered to run at interpreter exit
-    assert any(
-        getattr(f, "__name__", "") == "release_caches"
-        for f, *_ in getattr(atexit, "_exithandlers", [])
-    ) or True  # CPython keeps handlers private; registration is smoke-tested
-    # by calling unregister: it returns None without raising only if known
-    atexit.unregister(E.release_caches)
-    atexit.register(E.release_caches)
+
+
+def test_release_caches_runs_at_interpreter_exit():
+    """The REAL atexit property, observed end-to-end: a fresh interpreter
+    that imports the entry module and plants a fake cached frame must
+    unpersist it during interpreter shutdown (this build's
+    atexit._ncallbacks does not decrement on unregister, so handler
+    bookkeeping cannot be asserted directly)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as E\n"
+        "class F:\n"
+        "    def unpersist(self):\n"
+        "        print('SWEPT-AT-EXIT')\n"
+        "E._SIG_CACHE[('app', 'sf')] = F()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "SWEPT-AT-EXIT" in out.stdout

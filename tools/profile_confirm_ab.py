@@ -20,8 +20,11 @@ from libpostal_spark.session import get_spark
 
 SF = float(os.environ.get("PROF_SF", "0.1"))
 ROUNDS = int(os.environ.get("PROF_ROUNDS", "2"))
+# pin both strategies explicitly — the package DEFAULT was flipped to the
+# lean path after this A/B measured it faster, so relying on the default
+# here would silently compare lean vs lean
 CFGS = {
-    "jvm": PipelineConfig(),
+    "jvm": replace(PipelineConfig(), store_shingles=True),
     "py": replace(PipelineConfig(), store_shingles=False),
 }
 
