@@ -978,6 +978,169 @@ def _q_soft_tfidf(spark, sf_dir):
     )
 
 
+# Fuzzy-duplicate fixtures: (s1, s2) name/street pairs exercising the full
+# is_fuzzy_duplicate lattice (dedupe.c:340-484) — subset rule (street mode
+# grades it likely, name mode is a documented no-op), threshold grades, the
+# single-letter symmetric-difference demotion ("a ..." vs "b ..." at high
+# sim), and the 0-token subset quirk. The twin RECOMPUTES every status from
+# the same fixtures (Soft-TFIDF replay + the lattice in SQL).
+_FUZZY_FIXTURES = [
+    ("main st", "main st south annex extra"),
+    ("a alpha bravo charlie delta echo foxtrot golf hotel india",
+     "b alpha bravo charlie delta echo foxtrot golf hotel india"),
+    ("a b common tokens here", "a b common tokens here"),
+    ("a b x y z", "q r s t u"),
+    ("database config parser", "database config parser module extra words"),
+    ("", "anything at all"),
+    ("alpha bravo charlie delta echo", "alpha bravo charlie delta foxtrot"),
+    ("zulu yankee xray whiskey victor uniform tango sierra",
+     "zulu yankee xray whiskey victor uniform tango sierra"),
+]
+
+
+def _q_fuzzy_dup_status(spark, sf_dir):
+    """is_fuzzy_duplicate parity (operators/softtfidf.fuzzy_dup_status_pairs;
+    reference src/dedupe.c:340-513): Soft-TFIDF + subset rule +
+    single-letter demotion, graded in BOTH wrapper modes (street: subset →
+    likely; name: subset is a no-op)."""
+    from libpostal_spark.operators import softtfidf
+
+    n = len(_FUZZY_FIXTURES)
+    a1 = F.array(*[F.lit(a) for a, _ in _FUZZY_FIXTURES])
+    a2 = F.array(*[F.lit(b) for _, b in _FUZZY_FIXTURES])
+    idx = (F.pmod(F.col("doc_id").cast("long"), F.lit(n)) + 1).cast("int")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(a1, idx).alias("s1"),
+        F.element_at(a2, idx).alias("s2"),
+    )
+    docs2 = base.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("s1").alias("text")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.col("s2").alias("text"),
+        )
+    )
+    prs = base.select(
+        (F.col("doc_id") * 2).alias("doc_id1"),
+        (F.col("doc_id") * 2 + 1).alias("doc_id2"),
+    )
+    street = softtfidf.fuzzy_dup_status_pairs(
+        docs2, prs, subset_status="likely_duplicate"
+    )
+    # name mode = thresholds only (subset no-op) — derivable from the same
+    # row's soft_e4 + single-letter flag, so one computation serves both
+    name_status = (
+        F.when(
+            F.col("soft_e4") >= 9000,
+            F.when(
+                F.col("single_letter_mismatch"), F.lit("needs_review")
+            ).otherwise(F.lit("likely_duplicate")),
+        )
+        .when(F.col("soft_e4") >= 7000, F.lit("needs_review"))
+        .otherwise(F.lit("non_duplicate"))
+    )
+    return street.select(
+        F.expr("doc_id1 div 2").alias("doc_id"),
+        "n_matched", "n_tokens1", "n_tokens2", "soft_e4",
+        "single_letter_mismatch",
+        F.col("fuzzy_status").alias("status_street"),
+        name_status.alias("status_name"),
+    )
+
+
+def _fuzzy_sql() -> str:
+    n = len(_FUZZY_FIXTURES)
+    s1 = _case_by_doc_id([_sql_quote(a) for a, _ in _FUZZY_FIXTURES], n)
+    s2 = _case_by_doc_id([_sql_quote(b) for _, b in _FUZZY_FIXTURES], n)
+    soft_e4 = """
+        CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                  AND g.score_int IS NOT NULL
+             THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                        / (sqrt(CAST(na.n2 AS DOUBLE))
+                           * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT)
+             ELSE 0 END
+    """
+    symdiff = (
+        "len(list_filter(l1, x -> NOT list_contains(l2, x))) > 0 AND "
+        "len(list_filter(l2, x -> NOT list_contains(l1, x))) > 0"
+    )
+    thresholds = f"""
+        CASE WHEN soft_e4 >= 9000
+             THEN (CASE WHEN {symdiff} THEN 'needs_review'
+                        ELSE 'likely_duplicate' END)
+             WHEN soft_e4 >= 7000 THEN 'needs_review'
+             ELSE 'non_duplicate' END
+    """
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {s1} AS s1, {s2} AS s2 FROM documents),
+docs2 AS (SELECT 2 * doc_id AS doc_id, s1 AS text FROM base
+          UNION ALL
+          SELECT 2 * doc_id + 1 AS doc_id, s2 AS text FROM base),
+prs AS (SELECT 2 * doc_id AS doc_id1, 2 * doc_id + 1 AS doc_id2 FROM base),
+toks AS (SELECT doc_id,
+                unnest(list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0)))[1:10]) AS token
+         FROM docs2),
+wtab AS (SELECT token,
+                CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
+         FROM toks GROUP BY token),
+wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+cand AS (SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
+                b.token AS tok_b, b.w AS w_b,
+                CAST(floor(jaro_winkler_similarity(substr(a.token, 1, 16),
+                                                   substr(b.token, 1, 16))
+                           * 10000) AS BIGINT) AS jw_e4,
+                damerau_levenshtein(substr(a.token, 1, 16),
+                                    substr(b.token, 1, 16)) AS dl
+         FROM prs p
+         JOIN wt a ON a.doc_id = p.doc_id1
+         JOIN wt b ON b.doc_id = p.doc_id2),
+best AS (SELECT * FROM (
+           SELECT *, row_number() OVER (
+                    PARTITION BY doc_id1, doc_id2, tok_a
+                    ORDER BY jw_e4 DESC, tok_b ASC) AS rk
+           FROM cand
+           WHERE jw_e4 >= 9000
+              OR (dl <= 1 AND length(tok_a) >= 4 AND length(tok_b) >= 4)
+         ) WHERE rk = 1),
+agg AS (SELECT doc_id1, doc_id2, CAST(count(*) AS BIGINT) AS n_matched,
+               sum(w_a * w_b * jw_e4) AS score_int
+        FROM best GROUP BY doc_id1, doc_id2),
+ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+         FROM toks GROUP BY doc_id),
+lets AS (SELECT doc_id, list_sort(list_distinct(list(token))) AS ls
+         FROM toks
+         WHERE length(token) = 1 AND regexp_matches(token, '^\\p{{L}}$')
+         GROUP BY doc_id),
+fin AS (SELECT p.doc_id1,
+               coalesce(g.n_matched, 0) AS n_matched,
+               coalesce(n1.nt, 0) AS nt1, coalesce(n2.nt, 0) AS nt2,
+               {soft_e4} AS soft_e4,
+               coalesce(a1.ls, []::VARCHAR[]) AS l1,
+               coalesce(a2.ls, []::VARCHAR[]) AS l2
+        FROM prs p
+        LEFT JOIN agg g ON g.doc_id1 = p.doc_id1 AND g.doc_id2 = p.doc_id2
+        LEFT JOIN norms na ON na.doc_id = p.doc_id1
+        LEFT JOIN norms nb ON nb.doc_id = p.doc_id2
+        LEFT JOIN ntok n1 ON n1.doc_id = p.doc_id1
+        LEFT JOIN ntok n2 ON n2.doc_id = p.doc_id2
+        LEFT JOIN lets a1 ON a1.doc_id = p.doc_id1
+        LEFT JOIN lets a2 ON a2.doc_id = p.doc_id2)
+SELECT doc_id1 // 2 AS doc_id, n_matched,
+       nt1 AS n_tokens1, nt2 AS n_tokens2, soft_e4,
+       ({symdiff}) AS single_letter_mismatch,
+       CASE WHEN n_matched = least(nt1, nt2) THEN 'likely_duplicate'
+            ELSE ({thresholds}) END AS status_street,
+       ({thresholds}) AS status_name
+FROM fin
+"""
+
+
 _SOFT_TFIDF_SQL = """
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
     prs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
@@ -1633,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_adjacent": _q_token_jaccard,
         "string_similarity_adjacent": _q_string_similarity,
         "soft_tfidf_adjacent": _q_soft_tfidf,
+        "fuzzy_dup_status": _q_fuzzy_dup_status,
         "acronym_alignments": _q_acronym_pairs,
         "affine_gap_alignment": _q_affine_gap,
         "double_metaphone": _q_double_metaphone,
@@ -2226,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_lsh_candidates": _streaming_lsh_sql(),
         "string_similarity_adjacent": _STRSIM_SQL,
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
+        "fuzzy_dup_status": _fuzzy_sql(),
         "acronym_alignments": _acronym_sql(),
         "affine_gap_alignment": _affine_gap_sql(),
         "double_metaphone": _dm_sql(),

@@ -70,6 +70,118 @@ def _capped_token_sets(docs: DataFrame, text_col: str, id_col: str, max_tokens: 
     return toks
 
 
+def fuzzy_dup_status_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    subset_status: str = "non_duplicate",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 10,
+    jw_max_len: int = 16,
+) -> DataFrame:
+    """The reference's full ``is_fuzzy_duplicate`` composition
+    (/root/reference/src/dedupe.c:340-484) on top of Soft-TFIDF:
+
+    1. **subset rule** (dedupe.c:415-417): when every matched-token count
+       equals the smaller side's token count, the pair grades as
+       ``subset_status`` BEFORE any threshold — ``non_duplicate`` for the
+       name wrapper (is_name_duplicate_fuzzy, a no-op) and
+       ``likely_duplicate`` for the street wrapper
+       (is_street_duplicate_fuzzy): "main st" ⊂ "main st south". Matches
+       the reference exactly, including the quirk that a 0-token side
+       trivially satisfies it, and that when ``subset_status`` is
+       non_duplicate the thresholds still apply.
+    2. **thresholds** (libpostal.c:185-193): sim ≥ 0.9 → likely,
+       ≥ 0.7 → needs_review — compared in the integer soft_e4 domain.
+    3. **single-letter demotion** (dedupe.c:427-441, helper :231-293):
+       a threshold-LIKELY pair whose single-letter token sets have a
+       non-empty symmetric difference on BOTH sides ("A & B Jewelry" vs
+       "B & C Jewelry") demotes to needs_review — single letters are
+       low-information but, being rare, often tf-idf-heavy.
+
+    Token counts/letters come from the same capped sorted-distinct sets
+    the scorer uses (the reference uses the caller's full token arrays;
+    the cap is this engine's bounded-work contract, applied identically
+    to both sides and to the SQL twin). Output adds ``n_tokens1/2``,
+    ``single_letter_mismatch``, and ``fuzzy_status`` to the
+    soft_tfidf_pairs columns.
+    """
+    base = soft_tfidf_pairs(
+        docs, pairs, text_col=text_col, id_col=id_col,
+        max_tokens=max_tokens, jw_max_len=jw_max_len,
+    )
+    toks = _capped_token_sets(
+        docs.withColumn(id_col, F.col(id_col).cast("long")),
+        text_col, id_col, max_tokens,
+    )
+    ntok = toks.groupBy(id_col).agg(F.count("*").alias("nt"))
+    letters = (
+        toks.filter(
+            (F.length("token") == 1) & F.col("token").rlike(r"^\p{L}$")
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("token")).alias("letters"))
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    out = (
+        base.join(
+            ntok.select(F.col(id_col).alias("doc_id1"), F.col("nt").alias("nt1")),
+            "doc_id1", "left",
+        )
+        .join(
+            ntok.select(F.col(id_col).alias("doc_id2"), F.col("nt").alias("nt2")),
+            "doc_id2", "left",
+        )
+        .join(
+            letters.select(
+                F.col(id_col).alias("doc_id1"), F.col("letters").alias("l1")
+            ),
+            "doc_id1", "left",
+        )
+        .join(
+            letters.select(
+                F.col(id_col).alias("doc_id2"), F.col("letters").alias("l2")
+            ),
+            "doc_id2", "left",
+        )
+        .withColumn("nt1", F.coalesce("nt1", F.lit(0)).cast("long"))
+        .withColumn("nt2", F.coalesce("nt2", F.lit(0)).cast("long"))
+        .withColumn("l1", F.coalesce("l1", empty))
+        .withColumn("l2", F.coalesce("l2", empty))
+    )
+    symdiff = (F.size(F.array_except("l1", "l2")) > 0) & (
+        F.size(F.array_except("l2", "l1")) > 0
+    )
+    subset = F.col("n_matched") == F.least("nt1", "nt2")
+    likely_e4 = int(LIKELY_THRESHOLD * 10000)
+    review_e4 = int(NEEDS_REVIEW_THRESHOLD * 10000)
+    thresholds = (
+        F.when(
+            F.col("soft_e4") >= likely_e4,
+            F.when(symdiff, F.lit("needs_review")).otherwise(
+                F.lit("likely_duplicate")
+            ),
+        )
+        .when(F.col("soft_e4") >= review_e4, F.lit("needs_review"))
+        .otherwise(F.lit("non_duplicate"))
+    )
+    if subset_status != "non_duplicate":
+        status = F.when(subset, F.lit(subset_status)).otherwise(thresholds)
+    else:
+        # reference: subset sets NON, then the NON-guarded threshold
+        # block still runs — i.e. the subset rule is a no-op
+        status = thresholds
+    return (
+        out.withColumn("single_letter_mismatch", symdiff)
+        .withColumn("fuzzy_status", status)
+        .select(
+            "doc_id1", "doc_id2", "n_matched",
+            F.col("nt1").alias("n_tokens1"), F.col("nt2").alias("n_tokens2"),
+            "soft_e4", "soft_tfidf", "single_letter_mismatch", "fuzzy_status",
+        )
+    )
+
+
 def soft_tfidf_pairs(
     docs: DataFrame,
     pairs: DataFrame | None = None,
