@@ -1005,27 +1005,7 @@ def _q_fuzzy_dup_status(spark, sf_dir):
     likely; name: subset is a no-op)."""
     from libpostal_spark.operators import softtfidf
 
-    n = len(_FUZZY_FIXTURES)
-    a1 = F.array(*[F.lit(a) for a, _ in _FUZZY_FIXTURES])
-    a2 = F.array(*[F.lit(b) for _, b in _FUZZY_FIXTURES])
-    idx = (F.pmod(F.col("doc_id").cast("long"), F.lit(n)) + 1).cast("int")
-    base = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.element_at(a1, idx).alias("s1"),
-        F.element_at(a2, idx).alias("s2"),
-    )
-    docs2 = base.select(
-        (F.col("doc_id") * 2).alias("doc_id"), F.col("s1").alias("text")
-    ).unionByName(
-        base.select(
-            (F.col("doc_id") * 2 + 1).alias("doc_id"),
-            F.col("s2").alias("text"),
-        )
-    )
-    prs = base.select(
-        (F.col("doc_id") * 2).alias("doc_id1"),
-        (F.col("doc_id") * 2 + 1).alias("doc_id2"),
-    )
+    docs2, prs = _fixture_pair_docs(spark, sf_dir, _FUZZY_FIXTURES)
     street = softtfidf.fuzzy_dup_status_pairs(
         docs2, prs, subset_status="likely_duplicate"
     )
@@ -1138,6 +1118,235 @@ SELECT doc_id1 // 2 AS doc_id, n_matched,
             ELSE ({thresholds}) END AS status_street,
        ({thresholds}) AS status_name
 FROM fin
+"""
+
+
+# Full-ladder fixtures: every rung of soft_tfidf.c:240-465 with the
+# default options — equal, JW+abbrev boost (strict, norm offsets), DL-only,
+# standalone abbreviation (strict and non-strict), ordinal-vs-abbreviation
+# mode split, last-vs-first abbreviation discrimination, and a no-match
+# pair. Vocabulary constraint for the SQL twin: tokens are [a-z0-9]+ and
+# ≤ 15 chars (inside the jw_max_len=16 cap; regex-safe for the
+# subsequence pattern).
+_LADDER_FIXTURES = [
+    ("central station", "central station"),
+    ("international house", "internatl house"),
+    ("abcd nine", "abxd nine"),
+    ("blvd crossing", "boulevard crossing"),
+    ("21st street", "21 street"),
+    ("1st ave", "1 ave"),
+    ("zzz one", "qqq two"),
+    ("main st", "main st annex extra"),
+    ("plaza district", "plz district"),
+    ("stone gate", "stn son gate"),
+    ("international zone", "worldwide zone"),
+]
+
+
+def _fixture_pair_docs(spark, sf_dir, fixtures):
+    """(docs2, prs): each document doc_id picks fixture ``doc_id % n`` and
+    splits into two docs (2·id ← s1, 2·id+1 ← s2) plus the (2i, 2i+1)
+    candidate pair — the shared scaffolding of every pairwise fixture
+    query (fuzzy_dup_status, soft_tfidf_full)."""
+    n = len(fixtures)
+    a1 = F.array(*[F.lit(a) for a, _ in fixtures])
+    a2 = F.array(*[F.lit(b) for _, b in fixtures])
+    idx = (F.pmod(F.col("doc_id").cast("long"), F.lit(n)) + 1).cast("int")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(a1, idx).alias("s1"),
+        F.element_at(a2, idx).alias("s2"),
+    )
+    docs2 = base.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("s1").alias("text")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.col("s2").alias("text"),
+        )
+    )
+    prs = base.select(
+        (F.col("doc_id") * 2).alias("doc_id1"),
+        (F.col("doc_id") * 2 + 1).alias("doc_id2"),
+    )
+    return docs2, prs
+
+
+def _q_soft_tfidf_full(spark, sf_dir):
+    """Full-ladder Soft-TFIDF parity (operators/softtfidf.
+    soft_tfidf_full_pairs; reference src/soft_tfidf.c:240-465 with the
+    :9-17 defaults): equal / JW±abbreviation-boost with norm offsets / DL /
+    standalone abbreviation / ordinal suffix — run in BOTH option modes
+    (abbreviations on = reference default; off = the mode where the
+    ordinal rung is reachable)."""
+    from libpostal_spark.operators import softtfidf
+
+    docs2, prs = _fixture_pair_docs(spark, sf_dir, _LADDER_FIXTURES)
+    on = softtfidf.soft_tfidf_full_pairs(docs2, prs)
+    off = softtfidf.soft_tfidf_full_pairs(
+        docs2, prs, affine_gap_abbreviations=False
+    )
+    return (
+        on.select(
+            "doc_id1",
+            F.col("n_matched").alias("n_matched_full"),
+            F.col("soft_e4").alias("soft_e4_full"),
+            F.col("status").alias("status_full"),
+        )
+        .join(
+            off.select(
+                "doc_id1",
+                F.col("n_matched").alias("n_matched_noab"),
+                F.col("soft_e4").alias("soft_e4_noab"),
+            ),
+            "doc_id1",
+        )
+        .select(
+            F.expr("doc_id1 div 2").alias("doc_id"),
+            "n_matched_full", "soft_e4_full", "status_full",
+            "n_matched_noab", "soft_e4_noab",
+        )
+    )
+
+
+def _soft_tfidf_full_sql() -> str:
+    n = len(_LADDER_FIXTURES)
+    s1 = _case_by_doc_id([_sql_quote(a) for a, _ in _LADDER_FIXTURES], n)
+    s2 = _case_by_doc_id([_sql_quote(b) for _, b in _LADDER_FIXTURES], n)
+    longer = ("CASE WHEN length(tok_a) > length(tok_b)"
+              " THEN tok_a ELSE tok_b END")
+    shorter = ("CASE WHEN length(tok_a) < length(tok_b)"
+               " THEN tok_a ELSE tok_b END")
+    ord_re = "'^[0-9]+(st|nd|rd|th)$'"
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {s1} AS s1, {s2} AS s2 FROM documents),
+docs2 AS (SELECT 2 * doc_id AS doc_id, s1 AS text FROM base
+          UNION ALL
+          SELECT 2 * doc_id + 1 AS doc_id, s2 AS text FROM base),
+prs AS (SELECT 2 * doc_id AS doc_id1, 2 * doc_id + 1 AS doc_id2 FROM base),
+toks AS (SELECT doc_id,
+                unnest(list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0)))[1:10]) AS token
+         FROM docs2),
+wtab AS (SELECT token,
+                CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
+         FROM toks GROUP BY token),
+wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+flags AS (SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
+                 b.token AS tok_b, b.w AS w_b,
+   CAST(floor(jaro_winkler_similarity(substr(a.token, 1, 16),
+                                      substr(b.token, 1, 16))
+              * 10000) AS BIGINT) AS jw_e4,
+   damerau_levenshtein(substr(a.token, 1, 16),
+                       substr(b.token, 1, 16)) AS dl,
+   (length(a.token) <> length(b.token)
+    AND substr(a.token, 1, 1) = substr(b.token, 1, 1)
+    AND regexp_matches(
+          CASE WHEN length(a.token) > length(b.token)
+               THEN a.token ELSE b.token END,
+          list_aggregate(string_split(
+            CASE WHEN length(a.token) < length(b.token)
+                 THEN a.token ELSE b.token END, ''),
+            'string_agg', '.*'))) AS abrv0,
+   (starts_with(CASE WHEN length(a.token) > length(b.token)
+                     THEN a.token ELSE b.token END,
+                CASE WHEN length(a.token) < length(b.token)
+                     THEN a.token ELSE b.token END)
+    OR right(a.token, 1) = right(b.token, 1)) AS strict0,
+   ((regexp_matches(a.token, {ord_re})
+     AND starts_with(a.token, b.token))
+    OR (regexp_matches(b.token, {ord_re})
+        AND starts_with(b.token, a.token))) AS ordm
+  FROM prs p
+  JOIN wt a ON a.doc_id = p.doc_id1
+  JOIN wt b ON b.doc_id = p.doc_id2),
+modes AS (SELECT true AS ab_on UNION ALL SELECT false),
+cand AS (SELECT f.*, m.ab_on, f.abrv0 AND m.ab_on AS abrv
+         FROM flags f CROSS JOIN modes m),
+rk AS (SELECT *,
+   row_number() OVER (PARTITION BY ab_on, doc_id1, doc_id2, tok_a
+       ORDER BY jw_e4 DESC, tok_b ASC) AS rk_j,
+   row_number() OVER (PARTITION BY ab_on, doc_id1, doc_id2, tok_a
+       ORDER BY (CASE WHEN abrv THEN 0 ELSE 1 END) ASC, tok_b DESC) AS rk_a,
+   row_number() OVER (PARTITION BY ab_on, doc_id1, doc_id2, tok_a
+       ORDER BY (CASE WHEN dl < length(tok_a) THEN 0 ELSE 1 END) ASC,
+                dl ASC, tok_b ASC) AS rk_d,
+   row_number() OVER (PARTITION BY ab_on, doc_id1, doc_id2, tok_a
+       ORDER BY (CASE WHEN ordm THEN 0 ELSE 1 END) ASC, tok_b DESC) AS rk_o
+  FROM cand),
+ptok AS (SELECT ab_on, doc_id1, doc_id2, tok_a, w_a,
+   bool_or(tok_b = tok_a) AS have_eq,
+   max(jw_e4) AS max_jw,
+   max(CASE WHEN rk_j = 1 THEN tok_b END) AS jb_tok,
+   max(CASE WHEN rk_j = 1 THEN w_b END) AS jb_w,
+   bool_or(abrv) AS have_ab,
+   max(CASE WHEN rk_a = 1 AND abrv THEN jw_e4 END) AS ab_jw,
+   bool_or(rk_a = 1 AND abrv AND strict0) AS ab_strict,
+   max(CASE WHEN rk_a = 1 AND abrv THEN w_b END) AS ab_w,
+   max(CASE WHEN rk_a = 1 AND abrv THEN tok_b END) AS ab_tok,
+   min(CASE WHEN dl < length(tok_a) THEN dl END) AS min_dl,
+   max(CASE WHEN rk_d = 1 AND dl < length(tok_a) THEN jw_e4 END) AS db_jw,
+   max(CASE WHEN rk_d = 1 AND dl < length(tok_a) THEN w_b END) AS db_w,
+   max(CASE WHEN rk_d = 1 AND dl < length(tok_a) THEN tok_b END) AS db_tok,
+   bool_or(ordm) AS have_ord,
+   max(CASE WHEN rk_o = 1 AND ordm THEN w_b END) AS ob_w
+  FROM rk GROUP BY ab_on, doc_id1, doc_id2, tok_a, w_a),
+sel AS (SELECT *,
+   CASE WHEN ab_strict AND length(tok_a) >= 4
+        THEN greatest(ab_jw, 9900) ELSE ab_jw END AS ab_sim,
+   (have_eq OR (length(tok_a) >= 4 AND max_jw >= 9000)) AS r1,
+   (have_ab AND NOT have_eq AND jb_tok = ab_tok) AS boost,
+   (length(tok_a) >= 4 AND coalesce(min_dl, 99) <= 1) AS r2
+  FROM ptok),
+contrib AS (SELECT ab_on, doc_id1, doc_id2,
+   (r1 OR r2 OR have_ab OR have_ord) AS matched,
+   CASE
+     WHEN r1 AND boost THEN greatest(ab_sim, max_jw)
+                            * greatest(w_a, ab_w) * greatest(w_a, ab_w)
+     WHEN r1 THEN max_jw * w_a * jb_w
+     WHEN r2 AND have_ab AND db_tok = ab_tok
+          THEN greatest(ab_sim, db_jw) * w_a * db_w
+     WHEN r2 THEN db_jw * w_a * db_w
+     WHEN have_ab THEN ab_sim * w_a * ab_w
+     WHEN have_ord THEN 10000 * w_a * ob_w
+     ELSE 0 END AS c,
+   CASE WHEN r1 AND boost AND ab_w > w_a
+        THEN ab_w * ab_w - w_a * w_a ELSE 0 END AS off1,
+   CASE WHEN r1 AND boost AND w_a >= ab_w
+        THEN w_a * w_a - ab_w * ab_w ELSE 0 END AS off2
+  FROM sel),
+agg AS (SELECT ab_on, doc_id1, doc_id2,
+   CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+   sum(CASE WHEN matched THEN c ELSE 0 END) AS score_int,
+   sum(off1) AS off1, sum(off2) AS off2
+  FROM contrib GROUP BY ab_on, doc_id1, doc_id2),
+fin AS (SELECT m.ab_on, p.doc_id1,
+   coalesce(g.n_matched, 0) AS n_matched,
+   CASE WHEN coalesce(na.n2, 0) + coalesce(g.off1, 0) > 0
+         AND coalesce(nb.n2, 0) + coalesce(g.off2, 0) > 0
+         AND g.score_int IS NOT NULL
+        THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+             / (sqrt(CAST(na.n2 + g.off1 AS DOUBLE))
+                * sqrt(CAST(nb.n2 + g.off2 AS DOUBLE)))) AS BIGINT)
+        ELSE 0 END AS soft_e4
+  FROM prs p CROSS JOIN modes m
+  LEFT JOIN agg g ON g.ab_on = m.ab_on
+                 AND g.doc_id1 = p.doc_id1 AND g.doc_id2 = p.doc_id2
+  LEFT JOIN norms na ON na.doc_id = p.doc_id1
+  LEFT JOIN norms nb ON nb.doc_id = p.doc_id2)
+SELECT doc_id1 // 2 AS doc_id,
+  max(CASE WHEN ab_on THEN n_matched END) AS n_matched_full,
+  max(CASE WHEN ab_on THEN soft_e4 END) AS soft_e4_full,
+  max(CASE WHEN ab_on THEN
+      (CASE WHEN soft_e4 >= 9000 THEN 'likely_duplicate'
+            WHEN soft_e4 >= 7000 THEN 'needs_review'
+            ELSE 'non_duplicate' END) END) AS status_full,
+  max(CASE WHEN NOT ab_on THEN n_matched END) AS n_matched_noab,
+  max(CASE WHEN NOT ab_on THEN soft_e4 END) AS soft_e4_noab
+FROM fin GROUP BY doc_id1 // 2
 """
 
 
@@ -1796,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_adjacent": _q_token_jaccard,
         "string_similarity_adjacent": _q_string_similarity,
         "soft_tfidf_adjacent": _q_soft_tfidf,
+        "soft_tfidf_full": _q_soft_tfidf_full,
         "fuzzy_dup_status": _q_fuzzy_dup_status,
         "acronym_alignments": _q_acronym_pairs,
         "affine_gap_alignment": _q_affine_gap,
@@ -2390,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_lsh_candidates": _streaming_lsh_sql(),
         "string_similarity_adjacent": _STRSIM_SQL,
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
+        "soft_tfidf_full": _soft_tfidf_full_sql(),
         "fuzzy_dup_status": _fuzzy_sql(),
         "acronym_alignments": _acronym_sql(),
         "affine_gap_alignment": _affine_gap_sql(),

@@ -182,6 +182,20 @@ def affine_gap_batch(
     return D[rows, la, lb].astype(np.int64)
 
 
+def _subseq_first(a, la, b, lb) -> np.ndarray:
+    """a strictly shorter than b, nonempty, shares b's first character, and
+    is a subsequence of b — vectorized pointer advance over b's columns."""
+    B, n = len(la), b.shape[1]
+    if B == 0:
+        return np.zeros(0, dtype=bool)
+    ptr = np.zeros(B, dtype=np.int64)
+    idx = np.arange(B)
+    for j in range(n):
+        cur = a[idx, np.minimum(ptr, a.shape[1] - 1)]
+        ptr = ptr + ((cur == b[:, j]) & (ptr < la)).astype(np.int64)
+    return (ptr == la) & (la >= 1) & (la < lb) & (a[:, 0] == b[:, 0])
+
+
 def is_abbreviation_batch(
     s1: pd.Series, s2: pd.Series, max_len: int = 32
 ) -> np.ndarray:
@@ -192,15 +206,50 @@ def is_abbreviation_batch(
     columns."""
     a, la = _codes(s1, max_len, _SENT_A)
     b, lb = _codes(s2, max_len, _SENT_B)
-    B, n = len(la), b.shape[1]
+    return _subseq_first(a, la, b, lb) & (la >= 2)
+
+
+def abbrev_flags_batch(
+    s1: pd.Series, s2: pd.Series, max_len: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric (abbreviation, strict) flags per pair for the Soft-TFIDF
+    full match ladder.
+
+    Reference parity (/root/reference/src/string_similarity.c:289-318):
+
+    * ``possible_abbreviation``: the affine-gap optimum matches every
+      character of the shorter side (``num_matches == min_len``) and the
+      first characters agree. Engine core: the shorter side is a
+      first-char-sharing subsequence of the longer — identical on every
+      hand-checked golden; unlike :func:`is_abbreviation_batch` this keeps
+      the reference's no-minimum-length contract, so a single-character
+      prefix ("1" ⊂ "1st") qualifies.
+    * ``possible_abbreviation_strict``: one side is a full prefix of the
+      other, OR the pair abbreviates and also shares its LAST character
+      (common prefix > 0 is implied by the abbreviation flag).
+
+    Returns (abrv, strict) bool arrays; strict is only meaningful where
+    abrv holds (exactly how the ladder consults it).
+    """
+    a, la = _codes(s1, max_len, _SENT_A)
+    b, lb = _codes(s2, max_len, _SENT_B)
+    B = len(la)
     if B == 0:
-        return np.zeros(0, dtype=bool)
-    ptr = np.zeros(B, dtype=np.int64)
-    idx = np.arange(B)
-    for j in range(n):
-        cur = a[idx, np.minimum(ptr, a.shape[1] - 1)]
-        ptr = ptr + ((cur == b[:, j]) & (ptr < la)).astype(np.int64)
-    return (ptr == la) & (la >= 2) & (la < lb) & (a[:, 0] == b[:, 0])
+        z = np.zeros(0, dtype=bool)
+        return z, z
+    abrv = _subseq_first(a, la, b, lb) | _subseq_first(b, lb, a, la)
+    rows = np.arange(B)
+    min_len = np.minimum(la, lb)
+    k = min(a.shape[1], b.shape[1])
+    # sentinel codes differ per side, so padding never matches and the
+    # cumulative-product prefix length is naturally capped at min_len
+    prefix = (a[:, :k] == b[:, :k]).cumprod(axis=1).sum(axis=1)
+    nonempty = (la > 0) & (lb > 0)
+    last_eq = nonempty & (
+        a[rows, np.maximum(la - 1, 0)] == b[rows, np.maximum(lb - 1, 0)]
+    )
+    strict = (nonempty & (prefix == min_len)) | (abrv & last_eq)
+    return abrv, strict
 
 
 def jaro_winkler_batch(

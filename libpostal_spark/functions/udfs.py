@@ -193,6 +193,41 @@ def make_strsim_udf(max_len: int = 32):
     return strsim_udf
 
 
+def make_ladder_udf(max_len: int = 32):
+    """(tok_a, tok_b) -> struct(jw, dl, abrv, strict): everything the
+    Soft-TFIDF FULL match ladder (reference src/soft_tfidf.c:240-465)
+    needs per candidate token pair, in ONE Arrow pass — Jaro-Winkler,
+    unrestricted Damerau-Levenshtein, and the symmetric
+    possible-abbreviation / strict flags from core/strsim.py."""
+    from ..core import strsim
+
+    schema = T.StructType(
+        [
+            T.StructField("jw", T.DoubleType()),
+            T.StructField("dl", T.LongType()),
+            T.StructField("abrv", T.BooleanType()),
+            T.StructField("strict", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def ladder_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        for s1, s2 in it:
+            abrv, strict = strsim.abbrev_flags_batch(s1, s2, max_len)
+            yield pd.DataFrame(
+                {
+                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len),
+                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len),
+                    "abrv": abrv,
+                    "strict": strict,
+                }
+            )
+
+    return ladder_udf
+
+
 def make_affine_gap_udf(max_len: int = 32):
     """(s1, s2) -> struct(gap_cost, is_abbrev): Gotoh affine-gap alignment
     distance + the abbreviation-candidate check (core/strsim.py; reference

@@ -70,6 +70,254 @@ def _capped_token_sets(docs: DataFrame, text_col: str, id_col: str, max_tokens: 
     return toks
 
 
+def _weighted_cand(
+    docs: DataFrame,
+    pairs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared scaffolding for the Soft-TFIDF operators: default
+    adjacent-id pairs, the exploded per-pair token-candidate product with
+    tf-idf weights on both sides, and the per-doc integer weight norms."""
+    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    if pairs is None:
+        a = ids.select(F.col(id_col).alias("doc_id1"))
+        b = ids.select((F.col(id_col) - 1).alias("doc_id1"),
+                       F.col(id_col).alias("doc_id2"))
+        pairs = a.join(b, "doc_id1").select("doc_id1", "doc_id2")
+
+    toks = _capped_token_sets(
+        docs.withColumn(id_col, F.col(id_col).cast("long")),
+        text_col, id_col, max_tokens,
+    )
+    # df over the capped universe; weights are a SMALL table (distinct
+    # tokens) — broadcast into every consumer
+    wtab = (
+        toks.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn("w", F.floor(F.lit(_W_SCALE) / F.col("df")).cast("long"))
+        .select("token", "w")
+    )
+    wt = toks.join(F.broadcast(wtab), "token").select(
+        F.col(id_col), "token", "w"
+    )
+    # per-side weight norms (integer Σ w²)
+    norms = wt.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+
+    ta = wt.select(
+        F.col(id_col).alias("doc_id1"),
+        F.col("token").alias("tok_a"),
+        F.col("w").alias("w_a"),
+    )
+    tb = wt.select(
+        F.col(id_col).alias("doc_id2"),
+        F.col("token").alias("tok_b"),
+        F.col("w").alias("w_b"),
+    )
+    cand = pairs.join(ta, "doc_id1").join(tb, "doc_id2")
+    return pairs, cand, norms
+
+
+#: engine analog of the reference's numex ordinal-suffix detection
+#: (src/numex.c ordinal_suffix) narrowed to English digit+suffix tokens
+ORDINAL_TOKEN_RE = r"^[0-9]+(st|nd|rd|th)$"
+
+
+def soft_tfidf_full_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 10,
+    jw_max_len: int = 16,
+    affine_gap_abbreviations: bool = True,
+    ordinal_suffixes: bool = True,
+) -> DataFrame:
+    """Soft-TFIDF with the reference's FULL default match ladder
+    (/root/reference/src/soft_tfidf.c:240-465, defaults :9-17), per
+    candidate pair and per A-side token, in priority order:
+
+    1. **equal** — an identical B token scores 1.0 (the reference breaks
+       its scan there, so no abbreviation state interacts with it);
+    2. **Jaro-Winkler** — ``len(a) ≥ 4`` and best JW ≥ 0.9; the best B is
+       the FIRST maximum in sorted-token scan order. If that B is also the
+       LAST abbreviating B (``:425-447``): sim = max(jw, abbrev_sim) and
+       the contribution uses max(w_a, w_b)² with the difference of squares
+       added to the smaller side's norm (the reference's norm offsets);
+    3. **Damerau-Levenshtein** — ``len(a) ≥ 4`` and min distance ≤ 1
+       (recorded only below ``len(a)``, the reference's initial bound);
+       scores the argmin-B's JW, abbrev-boosted if the argmin is the last
+       abbreviating B;
+    4. **abbreviation** (``possible_affine_gap_abbreviations``, default
+       ON) — scores jw(a, last abbreviating B), raised to 0.99 when
+       ``len(a) ≥ 4`` and the pair is a STRICT abbreviation;
+    5. **ordinal suffix** — a has an ordinal suffix and B is a full prefix
+       of it (or vice versa); scores 1.0. Under default options this rung
+       is shadowed by rung 4 exactly as in the reference (a full prefix is
+       always a possible abbreviation — here including single-character
+       prefixes, reference parity); it becomes reachable with
+       ``affine_gap_abbreviations=False``.
+
+    "Last"/"first" tie-breaks follow the reference's scan order, which for
+    this operator's sorted-distinct capped token sets is lexicographic.
+    All accumulation is integer (see module docstring); the norm offsets
+    are integer differences of squares, applied before the float finish.
+
+    Output: doc_id1, doc_id2, n_matched, soft_e4, soft_tfidf, status.
+    """
+    from ..functions.udfs import make_ladder_udf
+
+    pairs, cand, norms = _weighted_cand(
+        docs, pairs, text_col, id_col, max_tokens
+    )
+    m = make_ladder_udf(jw_max_len)(F.col("tok_a"), F.col("tok_b"))
+    ordm = (
+        (
+            F.col("tok_a").rlike(ORDINAL_TOKEN_RE)
+            & F.col("tok_a").startswith(F.col("tok_b"))
+        )
+        | (
+            F.col("tok_b").rlike(ORDINAL_TOKEN_RE)
+            & F.col("tok_b").startswith(F.col("tok_a"))
+        )
+        if ordinal_suffixes
+        else F.lit(False)
+    )
+    cand = (
+        cand.withColumn("m", m)
+        .withColumn("jw_e4", F.floor(F.col("m.jw") * 10000).cast("long"))
+        .withColumn("dl", F.col("m.dl"))
+        .withColumn(
+            "abrv",
+            F.col("m.abrv") if affine_gap_abbreviations else F.lit(False),
+        )
+        .withColumn("strict", F.col("m.strict"))
+        .withColumn("ordm", ordm)
+        .drop("m")
+    )
+    # one hash-agg per (pair, A-token): every rung's argmax/argmin/last
+    # via min_by/max_by with null-skipped conditional ordering keys
+    dl_ok = F.col("dl") < F.length("tok_a")
+    per_tok = cand.groupBy("doc_id1", "doc_id2", "tok_a", "w_a").agg(
+        F.bool_or(F.col("tok_b") == F.col("tok_a")).alias("have_eq"),
+        F.max("jw_e4").alias("max_jw"),
+        F.min_by(
+            F.struct("tok_b", "w_b"),
+            F.struct((-F.col("jw_e4")).alias("nj"), F.col("tok_b")),
+        ).alias("jb"),
+        F.bool_or("abrv").alias("have_ab"),
+        F.max_by(
+            F.struct("jw_e4", "strict", "w_b", "tok_b"),
+            F.when(F.col("abrv"), F.col("tok_b")),
+        ).alias("ab"),
+        F.min(F.when(dl_ok, F.col("dl"))).alias("min_dl"),
+        F.min_by(
+            F.struct("jw_e4", "w_b", "tok_b"),
+            F.when(dl_ok, F.struct(F.col("dl"), F.col("tok_b"))),
+        ).alias("db"),
+        F.bool_or("ordm").alias("have_ord"),
+        F.max_by(
+            F.struct("w_b"), F.when(F.col("ordm"), F.col("tok_b"))
+        ).alias("ob"),
+    )
+
+    use_strict = F.length("tok_a") >= 4   # strict_abbreviation_min_length
+    ab_sim = F.when(
+        F.col("ab.strict") & use_strict,
+        F.greatest(F.col("ab.jw_e4"), F.lit(9900)),  # strict_abbreviation_sim
+    ).otherwise(F.col("ab.jw_e4"))
+    use_jw = F.length("tok_a") >= 4       # jaro_winkler_min_length
+    r1 = F.col("have_eq") | (use_jw & (F.col("max_jw") >= F.lit(JW_CLOSE_E4)))
+    boost = (
+        F.col("have_ab")
+        & ~F.col("have_eq")
+        & (F.col("jb.tok_b") == F.col("ab.tok_b"))
+    )
+    wmax = F.greatest(F.col("w_a"), F.col("ab.w_b"))
+    c1 = F.when(
+        boost, F.greatest(ab_sim, F.col("max_jw")) * wmax * wmax
+    ).otherwise(F.col("max_jw") * F.col("w_a") * F.col("jb.w_b"))
+    o1 = F.when(
+        boost & (F.col("ab.w_b") > F.col("w_a")),
+        F.col("ab.w_b") * F.col("ab.w_b") - F.col("w_a") * F.col("w_a"),
+    ).otherwise(F.lit(0))
+    o2 = F.when(
+        boost & (F.col("w_a") >= F.col("ab.w_b")),
+        F.col("w_a") * F.col("w_a") - F.col("ab.w_b") * F.col("ab.w_b"),
+    ).otherwise(F.lit(0))
+    r2 = use_jw & (F.col("min_dl") <= 1)  # damerau_levenshtein_max/min_length
+    d_sim = F.when(
+        F.col("have_ab") & (F.col("db.tok_b") == F.col("ab.tok_b")),
+        F.greatest(ab_sim, F.col("db.jw_e4")),
+    ).otherwise(F.col("db.jw_e4"))
+    c2 = d_sim * F.col("w_a") * F.col("db.w_b")
+    r3 = F.col("have_ab")
+    c3 = ab_sim * F.col("w_a") * F.col("ab.w_b")
+    r4 = F.col("have_ord")
+    c4 = F.lit(10000) * F.col("w_a") * F.col("ob.w_b")
+    matched = r1 | r2 | r3 | r4
+
+    tok_scored = per_tok.select(
+        "doc_id1",
+        "doc_id2",
+        F.coalesce(matched, F.lit(False)).alias("matched"),
+        F.coalesce(
+            F.when(r1, c1).when(r2, c2).when(r3, c3).when(r4, c4), F.lit(0)
+        ).cast("long").alias("contrib"),
+        F.when(r1, o1).otherwise(F.lit(0)).cast("long").alias("off1"),
+        F.when(r1, o2).otherwise(F.lit(0)).cast("long").alias("off2"),
+    )
+    agg = tok_scored.groupBy("doc_id1", "doc_id2").agg(
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        F.sum("contrib").alias("score_int"),
+        F.sum("off1").alias("off1"),
+        F.sum("off2").alias("off2"),
+    )
+    out = (
+        pairs.join(agg, ["doc_id1", "doc_id2"], "left")
+        .join(
+            norms.select(F.col(id_col).alias("doc_id1"),
+                         F.col("n2").alias("na2")),
+            "doc_id1", "left",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("doc_id2"),
+                         F.col("n2").alias("nb2")),
+            "doc_id2", "left",
+        )
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.when(
+                (F.coalesce("na2", F.lit(0))
+                 + F.coalesce("off1", F.lit(0)) > 0)
+                & (F.coalesce("nb2", F.lit(0))
+                   + F.coalesce("off2", F.lit(0)) > 0)
+                & F.col("score_int").isNotNull(),
+                F.floor(
+                    F.col("score_int").cast("double")
+                    / (
+                        F.sqrt((F.col("na2") + F.col("off1")).cast("double"))
+                        * F.sqrt((F.col("nb2") + F.col("off2")).cast("double"))
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("soft_e4"),
+        )
+        .withColumn("soft_tfidf", F.col("soft_e4") / F.lit(10000.0))
+        .withColumn(
+            "status",
+            F.when(F.col("soft_e4") >= int(LIKELY_THRESHOLD * 10000),
+                   F.lit("likely_duplicate"))
+            .when(F.col("soft_e4") >= int(NEEDS_REVIEW_THRESHOLD * 10000),
+                  F.lit("needs_review"))
+            .otherwise(F.lit("non_duplicate")),
+        )
+    )
+    return out
+
+
 def fuzzy_dup_status_pairs(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -203,42 +451,9 @@ def soft_tfidf_pairs(
     """
     from ..functions.udfs import make_strsim_udf
 
-    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
-    if pairs is None:
-        a = ids.select(F.col(id_col).alias("doc_id1"))
-        b = ids.select((F.col(id_col) - 1).alias("doc_id1"),
-                       F.col(id_col).alias("doc_id2"))
-        pairs = a.join(b, "doc_id1").select("doc_id1", "doc_id2")
-
-    toks = _capped_token_sets(
-        docs.withColumn(id_col, F.col(id_col).cast("long")),
-        text_col, id_col, max_tokens,
+    pairs, cand, norms = _weighted_cand(
+        docs, pairs, text_col, id_col, max_tokens
     )
-    # df over the capped universe; weights are a SMALL table (distinct
-    # tokens) — broadcast into every consumer
-    wtab = (
-        toks.groupBy("token")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .withColumn("w", F.floor(F.lit(_W_SCALE) / F.col("df")).cast("long"))
-        .select("token", "w")
-    )
-    wt = toks.join(F.broadcast(wtab), "token").select(
-        F.col(id_col), "token", "w"
-    )
-    # per-side weight norms (integer Σ w²)
-    norms = wt.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-
-    ta = wt.select(
-        F.col(id_col).alias("doc_id1"),
-        F.col("token").alias("tok_a"),
-        F.col("w").alias("w_a"),
-    )
-    tb = wt.select(
-        F.col(id_col).alias("doc_id2"),
-        F.col("token").alias("tok_b"),
-        F.col("w").alias("w_b"),
-    )
-    cand = pairs.join(ta, "doc_id1").join(tb, "doc_id2")
 
     # the reference's match ladder (soft_tfidf.c:240-465): exact/JW ≥ 0.9,
     # OR Damerau-Levenshtein ≤ 1 for tokens of length ≥ 4 (typo rung) —

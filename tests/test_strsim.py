@@ -166,3 +166,30 @@ def test_nulls_and_batch_mix():
     assert list(lev) == [3, 0, 1, 2]
     dl = strsim.damerau_levenshtein_batch(s1, s2)
     assert list(dl) == [3, 0, 1, 1]
+
+
+def test_abbrev_flags_batch():
+    """Symmetric (abrv, strict) flags for the full Soft-TFIDF ladder
+    (reference string_similarity.c:289-318): abrv = shorter side is a
+    first-char-sharing strict subsequence of the longer (either
+    direction, NO minimum length); strict = full prefix OR abrv with
+    matching last characters."""
+    cases = [
+        # (a, b, abrv, strict)
+        ("internatl", "international", True, True),   # subseq, last 'l'='l'
+        ("blvd", "boulevard", True, True),            # subseq, last 'd'='d'
+        ("boulevard", "blvd", True, True),            # symmetric
+        ("plz", "plaza", True, False),                # subseq, last z≠a, prefix 'pl'<3
+        ("1", "1st", True, True),                     # single-char full prefix
+        ("21", "21st", True, True),                   # full prefix
+        ("abc", "abd", False, False),                 # equal length → never abrv
+        ("xyz", "abcxyz", False, False),              # first chars differ
+        ("stn", "stone", True, False),                # subseq, last n≠e, prefix 'st'<3
+        ("", "abc", False, False),                    # empty side
+    ]
+    s1 = pd.Series([a for a, _, _, _ in cases])
+    s2 = pd.Series([b for _, b, _, _ in cases])
+    abrv, strict = strsim.abbrev_flags_batch(s1, s2)
+    for (a, b, ea, es), ga, gs in zip(cases, abrv, strict):
+        assert bool(ga) == ea, (a, b, "abrv", ga)
+        assert bool(gs) == es, (a, b, "strict", gs)
