@@ -1350,6 +1350,70 @@ FROM fin GROUP BY doc_id1 // 2
 """
 
 
+# Integrated-scorer goldens: (s1, s2, sim_e4, n_matched) — each pair
+# HAND-TRACED through the reference scan
+# (/root/reference/src/soft_tfidf.c:128-588) with UNIT token weights.
+# Exercised arms, in order: phrase-canonical via abbreviation entries
+# (cfg↔config, NEITHER_CANONICAL); swap + single↔multi-token phrase
+# (FIRST_CANONICAL) + a phrase√2 contribution; acronym arm with norm
+# offset (bam ↔ brooklyn academy music: off1 = 3−1 ⇒ sim 1.0); multi-word
+# arm with norm offset (seaworld ↔ sea world ⇒ 1.0); JW rung with
+# strict-abbreviation boost (0.99+1)/2 = 0.9950; short-token abbreviation
+# rung jw("21","21st") = 13/15 ⇒ (1+13/15)/2 = 0.9333; no-match zero;
+# lone phrase vs 2-token side 1/√2 = 0.7071; concatenation-vs-phrase
+# swap case (√2/√2 = 1); multi-token phrase skip (`i > p1.start`):
+# √2/(√4·√4) ⇒ 0.3536 with matched = p1.len = 2.
+_ALIGNED_GOLDENS = [
+    ("cfg parser", "config parser", 10000, 2),
+    ("data base conn", "database connection", 9856, 2),
+    ("bam show", "brooklyn academy music show", 10000, 2),
+    ("seaworld tickets", "sea world tickets", 10000, 2),
+    ("international house", "internatl house", 9950, 2),
+    ("21st main", "21 main", 9333, 2),
+    ("zzz qqq", "rrr www", 0, 0),
+    ("fn", "function impl", 7071, 1),
+    ("data base", "database", 10000, 1),
+    ("time out x y", "timeout a b c", 3536, 2),
+]
+
+
+def _q_soft_tfidf_aligned(spark, sf_dir):
+    """Integrated Soft-TFIDF parity (operators/softtfidf_aligned.
+    soft_tfidf_aligned_pairs; reference soft_tfidf.c:128-588 via
+    dedupe.c:340-414): the positional scorer with phrase-canonical,
+    acronym, and multi-word arms plus the full fallthrough ladder, in
+    unit-weight mode against hand-traced goldens."""
+    from libpostal_spark.operators import softtfidf_aligned
+
+    docs2, prs = _fixture_pair_docs(
+        spark, sf_dir, [(a, b) for a, b, _, _ in _ALIGNED_GOLDENS]
+    )
+    out = softtfidf_aligned.soft_tfidf_aligned_pairs(
+        docs2, prs, weight_mode="unit"
+    )
+    return out.select(
+        F.expr("doc_id1 div 2").alias("doc_id"),
+        "n_matched",
+        "sim_e4",
+        "status",
+    )
+
+
+def _aligned_sql() -> str:
+    n = len(_ALIGNED_GOLDENS)
+    e4 = _case_by_doc_id([str(e) for _, _, e, _ in _ALIGNED_GOLDENS], n)
+    nm = _case_by_doc_id([str(m) for _, _, _, m in _ALIGNED_GOLDENS], n)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({nm} AS BIGINT) AS n_matched,
+               CAST({e4} AS BIGINT) AS sim_e4,
+               CASE WHEN {e4} >= 9000 THEN 'likely_duplicate'
+                    WHEN {e4} >= 7000 THEN 'needs_review'
+                    ELSE 'non_duplicate' END AS status
+        FROM documents
+    """
+
+
 _SOFT_TFIDF_SQL = """
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
     prs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
@@ -2006,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity_adjacent": _q_string_similarity,
         "soft_tfidf_adjacent": _q_soft_tfidf,
         "soft_tfidf_full": _q_soft_tfidf_full,
+        "soft_tfidf_aligned": _q_soft_tfidf_aligned,
         "fuzzy_dup_status": _q_fuzzy_dup_status,
         "acronym_alignments": _q_acronym_pairs,
         "affine_gap_alignment": _q_affine_gap,
@@ -2601,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "string_similarity_adjacent": _STRSIM_SQL,
         "soft_tfidf_adjacent": _SOFT_TFIDF_SQL,
         "soft_tfidf_full": _soft_tfidf_full_sql(),
+        "soft_tfidf_aligned": _aligned_sql(),
         "fuzzy_dup_status": _fuzzy_sql(),
         "acronym_alignments": _acronym_sql(),
         "affine_gap_alignment": _affine_gap_sql(),
