@@ -1182,30 +1182,21 @@ def _q_soft_tfidf_full(spark, sf_dir):
     from libpostal_spark.operators import softtfidf
 
     docs2, prs = _fixture_pair_docs(spark, sf_dir, _LADDER_FIXTURES)
-    on = softtfidf.soft_tfidf_full_pairs(docs2, prs)
-    off = softtfidf.soft_tfidf_full_pairs(
-        docs2, prs, affine_gap_abbreviations=False
+    # ONE plan for both option modes: the operator derives the
+    # abbreviations-off result from the same per-token aggregates
+    # (with_no_abbrev_twin); the oracle recomputes the off mode
+    # independently via its modes cross join, keeping the derivation
+    # honest
+    on = softtfidf.soft_tfidf_full_pairs(
+        docs2, prs, with_no_abbrev_twin=True
     )
-    return (
-        on.select(
-            "doc_id1",
-            F.col("n_matched").alias("n_matched_full"),
-            F.col("soft_e4").alias("soft_e4_full"),
-            F.col("status").alias("status_full"),
-        )
-        .join(
-            off.select(
-                "doc_id1",
-                F.col("n_matched").alias("n_matched_noab"),
-                F.col("soft_e4").alias("soft_e4_noab"),
-            ),
-            "doc_id1",
-        )
-        .select(
-            F.expr("doc_id1 div 2").alias("doc_id"),
-            "n_matched_full", "soft_e4_full", "status_full",
-            "n_matched_noab", "soft_e4_noab",
-        )
+    return on.select(
+        F.expr("doc_id1 div 2").alias("doc_id"),
+        F.col("n_matched").alias("n_matched_full"),
+        F.col("soft_e4").alias("soft_e4_full"),
+        F.col("status").alias("status_full"),
+        F.col("n_matched_noab"),
+        F.col("soft_e4_noab"),
     )
 
 

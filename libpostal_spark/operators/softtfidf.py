@@ -133,6 +133,7 @@ def soft_tfidf_full_pairs(
     jw_max_len: int = 16,
     affine_gap_abbreviations: bool = True,
     ordinal_suffixes: bool = True,
+    with_no_abbrev_twin: bool = False,
 ) -> DataFrame:
     """Soft-TFIDF with the reference's FULL default match ladder
     (/root/reference/src/soft_tfidf.c:240-465, defaults :9-17), per
@@ -165,8 +166,23 @@ def soft_tfidf_full_pairs(
     are integer differences of squares, applied before the float finish.
 
     Output: doc_id1, doc_id2, n_matched, soft_e4, soft_tfidf, status.
+
+    ``with_no_abbrev_twin=True`` (requires abbreviations ON) appends
+    ``n_matched_noab``/``soft_e4_noab`` — the result the
+    ``affine_gap_abbreviations=False`` mode would produce — derived from
+    the SAME per-token aggregates in the same pass: the abbreviation
+    flags never influence the JW argmax or DL argmin aggregates, so the
+    off-mode contribution is just the un-boosted arm of each rung with
+    zero norm offsets. One plan instead of two (the harness query's
+    both-modes oracle recomputes the off mode independently, which keeps
+    this derivation honest).
     """
     from ..functions.udfs import make_ladder_udf
+
+    if with_no_abbrev_twin and not affine_gap_abbreviations:
+        raise ValueError(
+            "with_no_abbrev_twin requires affine_gap_abbreviations=True"
+        )
 
     pairs, cand, norms = _weighted_cand(
         docs, pairs, text_col, id_col, max_tokens
@@ -258,7 +274,7 @@ def soft_tfidf_full_pairs(
     c4 = F.lit(10000) * F.col("w_a") * F.col("ob.w_b")
     matched = r1 | r2 | r3 | r4
 
-    tok_scored = per_tok.select(
+    tok_cols = [
         "doc_id1",
         "doc_id2",
         F.coalesce(matched, F.lit(False)).alias("matched"),
@@ -267,13 +283,32 @@ def soft_tfidf_full_pairs(
         ).cast("long").alias("contrib"),
         F.when(r1, o1).otherwise(F.lit(0)).cast("long").alias("off1"),
         F.when(r1, o2).otherwise(F.lit(0)).cast("long").alias("off2"),
-    )
-    agg = tok_scored.groupBy("doc_id1", "doc_id2").agg(
+    ]
+    if with_no_abbrev_twin:
+        # abbreviations-OFF derivation: same r1/r2/r4 predicates, the
+        # un-boosted contribution arms, no offsets (boost never fires)
+        c1n = F.col("max_jw") * F.col("w_a") * F.col("jb.w_b")
+        c2n = F.col("db.jw_e4") * F.col("w_a") * F.col("db.w_b")
+        matched_n = r1 | r2 | r4
+        tok_cols += [
+            F.coalesce(matched_n, F.lit(False)).alias("matched_noab"),
+            F.coalesce(
+                F.when(r1, c1n).when(r2, c2n).when(r4, c4), F.lit(0)
+            ).cast("long").alias("contrib_noab"),
+        ]
+    tok_scored = per_tok.select(*tok_cols)
+    agg_cols = [
         F.sum(F.col("matched").cast("long")).alias("n_matched"),
         F.sum("contrib").alias("score_int"),
         F.sum("off1").alias("off1"),
         F.sum("off2").alias("off2"),
-    )
+    ]
+    if with_no_abbrev_twin:
+        agg_cols += [
+            F.sum(F.col("matched_noab").cast("long")).alias("n_matched_noab"),
+            F.sum("contrib_noab").alias("score_noab"),
+        ]
+    agg = tok_scored.groupBy("doc_id1", "doc_id2").agg(*agg_cols)
     out = (
         pairs.join(agg, ["doc_id1", "doc_id2"], "left")
         .join(
@@ -304,6 +339,27 @@ def soft_tfidf_full_pairs(
                     )
                 ).cast("long"),
             ).otherwise(F.lit(0).cast("long")).alias("soft_e4"),
+            *(
+                [
+                    F.coalesce("n_matched_noab", F.lit(0))
+                    .cast("long").alias("n_matched_noab"),
+                    F.when(
+                        (F.coalesce("na2", F.lit(0)) > 0)
+                        & (F.coalesce("nb2", F.lit(0)) > 0)
+                        & F.col("score_noab").isNotNull(),
+                        F.floor(
+                            F.col("score_noab").cast("double")
+                            / (
+                                F.sqrt(F.col("na2").cast("double"))
+                                * F.sqrt(F.col("nb2").cast("double"))
+                            )
+                        ).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    .alias("soft_e4_noab"),
+                ]
+                if with_no_abbrev_twin
+                else []
+            ),
         )
         .withColumn("soft_tfidf", F.col("soft_e4") / F.lit(10000.0))
         .withColumn(

@@ -116,3 +116,43 @@ def test_explicit_pairs_frame(spark):
     out = softtfidf.soft_tfidf_full_pairs(docs, pairs).collect()
     assert len(out) == 1
     assert (out[0]["doc_id1"], out[0]["doc_id2"]) == (0, 2)
+
+
+def test_no_abbrev_twin_matches_off_mode(spark):
+    # the derived abbreviations-off columns must equal a genuine
+    # affine_gap_abbreviations=False run on every fixture class
+    rows = [
+        "international house", "internatl house",
+        "blvd xing", "boulevard xing",
+        "21st street", "21 street",
+        "abcd nine", "abxd nine",
+        "zzz one", "qqq two",
+        "plz district", "plaza district",
+    ]
+    docs = _docs(spark, rows)
+    twin = {
+        r["doc_id1"]: r
+        for r in softtfidf.soft_tfidf_full_pairs(
+            docs, with_no_abbrev_twin=True
+        ).collect()
+    }
+    off = {
+        r["doc_id1"]: r
+        for r in softtfidf.soft_tfidf_full_pairs(
+            docs, affine_gap_abbreviations=False
+        ).collect()
+    }
+    assert set(twin) == set(off)
+    for k in off:
+        assert twin[k]["n_matched_noab"] == off[k]["n_matched"], k
+        assert twin[k]["soft_e4_noab"] == off[k]["soft_e4"], k
+
+
+def test_no_abbrev_twin_requires_abbrev_on(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark, ["a b", "a c"])
+    with _pytest.raises(ValueError):
+        softtfidf.soft_tfidf_full_pairs(
+            docs, affine_gap_abbreviations=False, with_no_abbrev_twin=True
+        )
