@@ -1354,53 +1354,85 @@ FROM fin GROUP BY doc_id1 // 2
 # lone phrase vs 2-token side 1/√2 = 0.7071; concatenation-vs-phrase
 # swap case (√2/√2 = 1); multi-token phrase skip (`i > p1.start`):
 # √2/(√4·√4) ⇒ 0.3536 with matched = p1.len = 2.
+# Columns per golden: (s1, s2, sim_e4, n_matched, street_status,
+# name_status) — statuses from the dedupe.c:415-441 lattice: street =
+# subset rule (n_matched == min token count ⇒ likely) else thresholds +
+# single-letter demotion; name = thresholds + demotion only. Fixture 11
+# ("a c1…c9" vs "b c1…c9") lands EXACTLY on the 0.9 boundary (9 matches
+# of 10 unit tokens, sim_e4 = 9000 → threshold-likely) and demotes to
+# needs_review in both modes via the {a}/{b} single-letter symmetric
+# difference.
 _ALIGNED_GOLDENS = [
-    ("cfg parser", "config parser", 10000, 2),
-    ("data base conn", "database connection", 9856, 2),
-    ("bam show", "brooklyn academy music show", 10000, 2),
-    ("seaworld tickets", "sea world tickets", 10000, 2),
-    ("international house", "internatl house", 9950, 2),
-    ("21st main", "21 main", 9333, 2),
-    ("zzz qqq", "rrr www", 0, 0),
-    ("fn", "function impl", 7071, 1),
-    ("data base", "database", 10000, 1),
-    ("time out x y", "timeout a b c", 3536, 2),
+    ("cfg parser", "config parser", 10000, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("data base conn", "database connection", 9856, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("bam show", "brooklyn academy music show", 10000, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("seaworld tickets", "sea world tickets", 10000, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("international house", "internatl house", 9950, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("21st main", "21 main", 9333, 2,
+     "likely_duplicate", "likely_duplicate"),
+    ("zzz qqq", "rrr www", 0, 0,
+     "non_duplicate", "non_duplicate"),
+    ("fn", "function impl", 7071, 1,
+     "likely_duplicate", "needs_review"),
+    ("data base", "database", 10000, 1,
+     "likely_duplicate", "likely_duplicate"),
+    ("time out x y", "timeout a b c", 3536, 2,
+     "non_duplicate", "non_duplicate"),
+    ("a c1 c2 c3 c4 c5 c6 c7 c8 c9", "b c1 c2 c3 c4 c5 c6 c7 c8 c9",
+     9000, 9, "needs_review", "needs_review"),
 ]
 
 
 def _q_soft_tfidf_aligned(spark, sf_dir):
-    """Integrated Soft-TFIDF parity (operators/softtfidf_aligned.
-    soft_tfidf_aligned_pairs; reference soft_tfidf.c:128-588 via
-    dedupe.c:340-414): the positional scorer with phrase-canonical,
-    acronym, and multi-word arms plus the full fallthrough ladder, in
-    unit-weight mode against hand-traced goldens."""
+    """Integrated Soft-TFIDF parity (operators/softtfidf_aligned; reference
+    soft_tfidf.c:128-588 via dedupe.c:340-484): the positional scorer with
+    phrase-canonical, acronym, and multi-word arms plus the full
+    fallthrough ladder, graded through the is_fuzzy_duplicate lattice in
+    BOTH wrapper modes (street: subset rule ⇒ likely; name: thresholds +
+    single-letter demotion only), in unit-weight mode against hand-traced
+    goldens."""
     from libpostal_spark.operators import softtfidf_aligned
+    from libpostal_spark.operators.softtfidf import fuzzy_lattice_status
 
     docs2, prs = _fixture_pair_docs(
-        spark, sf_dir, [(a, b) for a, b, _, _ in _ALIGNED_GOLDENS]
+        spark, sf_dir, [(a, b) for a, b, *_ in _ALIGNED_GOLDENS]
     )
-    out = softtfidf_aligned.soft_tfidf_aligned_pairs(
-        docs2, prs, weight_mode="unit"
+    out = softtfidf_aligned.fuzzy_dup_status_aligned_pairs(
+        docs2, prs, subset_status="likely_duplicate", weight_mode="unit"
+    )
+    subset = F.col("n_matched") == F.least("n_tokens1", "n_tokens2")
+    name_status = fuzzy_lattice_status(
+        F.col("sim_e4"),
+        subset,
+        F.col("single_letter_mismatch"),
+        "non_duplicate",
     )
     return out.select(
         F.expr("doc_id1 div 2").alias("doc_id"),
         "n_matched",
         "sim_e4",
-        "status",
+        F.col("fuzzy_status").alias("street_status"),
+        name_status.alias("name_status"),
     )
 
 
 def _aligned_sql() -> str:
     n = len(_ALIGNED_GOLDENS)
-    e4 = _case_by_doc_id([str(e) for _, _, e, _ in _ALIGNED_GOLDENS], n)
-    nm = _case_by_doc_id([str(m) for _, _, _, m in _ALIGNED_GOLDENS], n)
+    e4 = _case_by_doc_id([str(g[2]) for g in _ALIGNED_GOLDENS], n)
+    nm = _case_by_doc_id([str(g[3]) for g in _ALIGNED_GOLDENS], n)
+    st = _case_by_doc_id([_sql_quote(g[4]) for g in _ALIGNED_GOLDENS], n)
+    nm_st = _case_by_doc_id([_sql_quote(g[5]) for g in _ALIGNED_GOLDENS], n)
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST({nm} AS BIGINT) AS n_matched,
                CAST({e4} AS BIGINT) AS sim_e4,
-               CASE WHEN {e4} >= 9000 THEN 'likely_duplicate'
-                    WHEN {e4} >= 7000 THEN 'needs_review'
-                    ELSE 'non_duplicate' END AS status
+               {st} AS street_status,
+               {nm_st} AS name_status
         FROM documents
     """
 

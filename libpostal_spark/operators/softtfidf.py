@@ -374,6 +374,33 @@ def soft_tfidf_full_pairs(
     return out
 
 
+def fuzzy_lattice_status(sim_e4, subset, symdiff, subset_status: str):
+    """The ``is_fuzzy_duplicate`` status lattice as one Column
+    (/root/reference/src/dedupe.c:415-441 + libpostal.c:185-193), shared
+    by the sorted-set and the integrated-scorer variants: thresholds in
+    the integer e4 domain, single-letter demotion of threshold-LIKELY
+    pairs, and the subset rule (a no-op when ``subset_status`` is
+    non_duplicate, exactly as in the reference's name wrapper)."""
+    likely_e4 = int(LIKELY_THRESHOLD * 10000)
+    review_e4 = int(NEEDS_REVIEW_THRESHOLD * 10000)
+    thresholds = (
+        F.when(
+            sim_e4 >= likely_e4,
+            F.when(symdiff, F.lit("needs_review")).otherwise(
+                F.lit("likely_duplicate")
+            ),
+        )
+        .when(sim_e4 >= review_e4, F.lit("needs_review"))
+        .otherwise(F.lit("non_duplicate"))
+    )
+    if subset_status != "non_duplicate":
+        # reference: subset sets the wrapper status BEFORE the
+        # NON-guarded threshold block
+        return F.when(subset, F.lit(subset_status)).otherwise(thresholds)
+    # subset sets NON, then the threshold block still runs — a no-op
+    return thresholds
+
+
 def fuzzy_dup_status_pairs(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -457,24 +484,9 @@ def fuzzy_dup_status_pairs(
         F.size(F.array_except("l2", "l1")) > 0
     )
     subset = F.col("n_matched") == F.least("nt1", "nt2")
-    likely_e4 = int(LIKELY_THRESHOLD * 10000)
-    review_e4 = int(NEEDS_REVIEW_THRESHOLD * 10000)
-    thresholds = (
-        F.when(
-            F.col("soft_e4") >= likely_e4,
-            F.when(symdiff, F.lit("needs_review")).otherwise(
-                F.lit("likely_duplicate")
-            ),
-        )
-        .when(F.col("soft_e4") >= review_e4, F.lit("needs_review"))
-        .otherwise(F.lit("non_duplicate"))
+    status = fuzzy_lattice_status(
+        F.col("soft_e4"), subset, symdiff, subset_status
     )
-    if subset_status != "non_duplicate":
-        status = F.when(subset, F.lit(subset_status)).otherwise(thresholds)
-    else:
-        # reference: subset sets NON, then the NON-guarded threshold
-        # block still runs — i.e. the subset rule is a no-op
-        status = thresholds
     return (
         out.withColumn("single_letter_mismatch", symdiff)
         .withColumn("fuzzy_status", status)

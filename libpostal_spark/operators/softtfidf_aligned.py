@@ -577,20 +577,120 @@ def soft_tfidf_aligned_pairs(
     out = joined.withColumn(
         "m", udf(F.col("t1"), F.col("ww1"), F.col("t2"), F.col("ww2"))
     )
+    sim_e4 = F.round(F.col("m.sim") * 10000).cast("long")
+    # status from the integer e4 domain (repo convention): float-noise at
+    # a threshold boundary (e.g. 9/(√10·√10) = 0.8999999999999999) must
+    # not flip the grade the rounded score implies
     return out.select(
         "doc_id1",
         "doc_id2",
         F.col("m.n_matched").alias("n_matched"),
-        F.round(F.col("m.sim") * 10000).cast("long").alias("sim_e4"),
+        sim_e4.alias("sim_e4"),
         F.round(F.col("m.sim"), 4).alias("soft_tfidf"),
         F.when(
-            F.col("m.sim") >= F.lit(LIKELY_THRESHOLD),
+            sim_e4 >= int(LIKELY_THRESHOLD * 10000),
             F.lit("likely_duplicate"),
         )
         .when(
-            F.col("m.sim") >= F.lit(NEEDS_REVIEW_THRESHOLD),
+            sim_e4 >= int(NEEDS_REVIEW_THRESHOLD * 10000),
             F.lit("needs_review"),
         )
         .otherwise(F.lit("non_duplicate"))
         .alias("status"),
+    )
+
+
+def fuzzy_dup_status_aligned_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    subset_status: str = "non_duplicate",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = _DEF_MAX_TOKENS,
+    weight_mode: str = "df",
+    expansions: Iterable[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The reference's full ``is_fuzzy_duplicate`` composition
+    (/root/reference/src/dedupe.c:340-484) over the INTEGRATED scorer —
+    the exact pairing the reference ships (``:400-413`` calls
+    ``soft_tfidf_similarity_with_phrases_and_acronyms``): subset rule
+    (``num_matches == min token count`` ⇒ ``subset_status``, dedupe.c
+    :415-417), 0.9/0.7 thresholds, and single-letter symmetric-difference
+    demotion (``:427-441``), all in the integer e4 domain via the shared
+    ``fuzzy_lattice_status`` used by the sorted-set variant.
+
+    Token counts here are POSITIONAL (first ``max_tokens`` whitespace
+    tokens, duplicates counted) — the aligned scorer's token model, and
+    the reference's (it passes the raw token arrays). Output:
+    doc_id1/2, n_matched, n_tokens1/2, sim_e4, single_letter_mismatch,
+    fuzzy_status.
+    """
+    from .softtfidf import fuzzy_lattice_status
+
+    base = soft_tfidf_aligned_pairs(
+        docs, pairs, text_col=text_col, id_col=id_col,
+        max_tokens=max_tokens, weight_mode=weight_mode,
+        expansions=expansions,
+    )
+    toks_expr = (
+        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f" t -> length(t) > 0), 1, {max_tokens})"
+    )
+    feat = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(toks_expr).alias("toks"),
+    ).select(
+        id_col,
+        F.size("toks").cast("long").alias("nt"),
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    "filter(toks, t -> length(t) = 1 and t rlike '^\\\\p{L}$')"
+                )
+            )
+        ).alias("letters"),
+    )
+    out = (
+        base.join(
+            feat.select(
+                F.col(id_col).alias("doc_id1"),
+                F.col("nt").alias("nt1"),
+                F.col("letters").alias("l1"),
+            ),
+            "doc_id1", "left",
+        )
+        .join(
+            feat.select(
+                F.col(id_col).alias("doc_id2"),
+                F.col("nt").alias("nt2"),
+                F.col("letters").alias("l2"),
+            ),
+            "doc_id2", "left",
+        )
+        .withColumn("nt1", F.coalesce("nt1", F.lit(0)).cast("long"))
+        .withColumn("nt2", F.coalesce("nt2", F.lit(0)).cast("long"))
+        .withColumn(
+            "l1", F.coalesce("l1", F.expr("cast(array() as array<string>)"))
+        )
+        .withColumn(
+            "l2", F.coalesce("l2", F.expr("cast(array() as array<string>)"))
+        )
+    )
+    symdiff = (F.size(F.array_except("l1", "l2")) > 0) & (
+        F.size(F.array_except("l2", "l1")) > 0
+    )
+    subset = F.col("n_matched") == F.least("nt1", "nt2")
+    status = fuzzy_lattice_status(
+        F.col("sim_e4"), subset, symdiff, subset_status
+    )
+    return (
+        out.withColumn("single_letter_mismatch", symdiff)
+        .withColumn("fuzzy_status", status)
+        .select(
+            "doc_id1", "doc_id2", "n_matched",
+            F.col("nt1").alias("n_tokens1"),
+            F.col("nt2").alias("n_tokens2"),
+            "sim_e4", "soft_tfidf",
+            "single_letter_mismatch", "fuzzy_status",
+        )
     )

@@ -158,3 +158,49 @@ def test_weight_mode_validation(spark):
     docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         sa.soft_tfidf_aligned_pairs(docs, weight_mode="bogus")
+
+
+def test_fuzzy_lattice_street_subset_rule(spark):
+    # "fn" fully matches into "function impl" (1 == min token count):
+    # street wrapper ⇒ likely before thresholds; name wrapper leaves the
+    # 0.7071 score at needs_review
+    docs = spark.createDataFrame(
+        [(0, "fn"), (1, "function impl")], ["doc_id", "text"]
+    )
+    street = sa.fuzzy_dup_status_aligned_pairs(
+        docs, subset_status="likely_duplicate", weight_mode="unit"
+    ).collect()[0]
+    name = sa.fuzzy_dup_status_aligned_pairs(
+        docs, weight_mode="unit"
+    ).collect()[0]
+    assert street["fuzzy_status"] == "likely_duplicate"
+    assert name["fuzzy_status"] == "needs_review"
+    assert street["n_tokens1"] == 1 and street["n_tokens2"] == 2
+
+
+def test_fuzzy_lattice_single_letter_demotion(spark):
+    # 9 of 10 unit tokens match → sim_e4 lands exactly on 9000; the
+    # {a}/{b} single-letter symmetric difference demotes threshold-LIKELY
+    # to needs_review in both wrapper modes (dedupe.c:427-441)
+    s1 = "a c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    s2 = "b c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    docs = spark.createDataFrame([(0, s1), (1, s2)], ["doc_id", "text"])
+    r = sa.fuzzy_dup_status_aligned_pairs(
+        docs, subset_status="likely_duplicate", weight_mode="unit"
+    ).collect()[0]
+    assert r["sim_e4"] == 9000
+    assert r["single_letter_mismatch"] is True
+    assert r["fuzzy_status"] == "needs_review"
+
+
+def test_fuzzy_lattice_no_demotion_when_letters_shared(spark):
+    # same single letter on both sides → empty symmetric difference → the
+    # threshold-likely grade stands
+    s1 = "a c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    docs = spark.createDataFrame([(0, s1), (1, s1)], ["doc_id", "text"])
+    r = sa.fuzzy_dup_status_aligned_pairs(
+        docs, weight_mode="unit"
+    ).collect()[0]
+    assert r["sim_e4"] == 10000
+    assert r["single_letter_mismatch"] is False
+    assert r["fuzzy_status"] == "likely_duplicate"
