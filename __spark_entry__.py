@@ -250,6 +250,135 @@ def _translit_sql() -> str:
     """
 
 
+# classed-gazetteer fixtures: the sf corpora carry natural stopwords but no
+# code abbreviations, so each doc appends a deterministic suffix (doc_id % 8)
+# exercising every dictionary class — qualifier, concatenated phrase (incl.
+# camelCase forms the tokenizer must split first), stopword, synonym, and
+# ambiguous. Both the Spark query and the DuckDB twin decorate identically.
+_GAZ_SUFFIXES = [
+    "cfg err dataBase init",
+    "sec folder timeOut",
+    "temp whitelist ptr",
+    "exp min blacklist attr",
+    "callBack fetch req",
+    "begin halt tmp upon",
+    "setUp noOp env via",
+    "whiteList src params onto",
+]
+
+
+def _gaz_decorated(spark, sf_dir):
+    arr = F.array(*[F.lit(s) for s in _GAZ_SUFFIXES])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_GAZ_SUFFIXES))) + 1
+    ).cast("int")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.element_at(arr, idx)).alias(
+            "text"
+        ),
+    )
+
+
+def _gaz_composed_sql() -> str:
+    n = len(_GAZ_SUFFIXES)
+    suffix = (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(s)}"
+            for i, s in enumerate(_GAZ_SUFFIXES)
+        )
+        + " END"
+    )
+    return f"(text || ' ' || {suffix})"
+
+
+def _q_gazetteer_matches(spark, sf_dir):
+    """Class-tagged dictionary matching (gazetteers.h typed dictionaries;
+    search_address_dictionaries_tokens returns matches WITH dictionary ids):
+    (doc_id, dict_class, pattern, n_matches) over all five classes."""
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.operators.gazetteer import phrase_class_matches
+
+    return phrase_class_matches(
+        _gaz_decorated(spark, sf_dir), components=ALL_COMPONENTS
+    )
+
+
+def _gazetteer_sql() -> str:
+    """Chained-CTE twin: one step per classed pattern in the shared priority
+    order, each counting its non-overlapping matches on the evolving
+    doubled-space stream BEFORE applying its root replacement (stopwords
+    delete, ambiguous folds to the first alternative), then an unpivot of
+    the per-pattern counts."""
+    from libpostal_spark.operators.gazetteer import _ordered_classed
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+
+    ordered = _ordered_classed(ALL_COMPONENTS)
+    steps, prev = [], "s0"
+    for i, (k, v, _) in enumerate(ordered, start=1):
+        pat = _sql_quote(" " + k.replace(" ", "  ") + " ")
+        rep = _sql_quote(" " + v.replace(" ", "  ") + " ")
+        steps.append(
+            f"s{i} AS (SELECT * EXCLUDE (s), replace(s, {pat}, {rep}) AS s, "
+            f"(length(s) - length(replace(s, {pat}, ''))) // length({pat})"
+            f" AS m{i} FROM {prev})"
+        )
+        prev = f"s{i}"
+    chain = ",\n            ".join(steps)
+    unpivot = "\n        UNION ALL ".join(
+        f"SELECT doc_id, '{cls}' AS dict_class, {_sql_quote(k)} AS pattern, "
+        f"CAST(m{i} AS INT) AS n_matches FROM {prev} WHERE m{i} > 0"
+        for i, (k, _, cls) in enumerate(ordered, start=1)
+    )
+    return f"""
+        WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          {_canon_expr(_gaz_composed_sql())} AS canon
+                   FROM documents),
+            s0 AS (SELECT doc_id,
+                          ' ' || replace(canon, ' ', '  ') || ' ' AS s
+                   FROM c),
+            {chain}
+        {unpivot}
+    """
+
+
+def _q_canonicalize_classed(spark, sf_dir):
+    """Root canonicalization with ALL dictionary classes active — the
+    normalize-options component mask at its widest (stopwords deleted,
+    synonyms folded, ambiguous abbreviations to their first alternative;
+    expand.c's class-conditional root expansion)."""
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.operators.gazetteer import canonicalize_classed
+
+    return canonicalize_classed(
+        _gaz_decorated(spark, sf_dir), components=ALL_COMPONENTS
+    )
+
+
+def _classed_canon_sql() -> str:
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+    from libpostal_spark.dictionaries import (
+        ALL_COMPONENTS,
+        entries_for_components,
+    )
+
+    expr = (
+        f"' ' || replace({_canon_expr(_gaz_composed_sql())}, ' ', '  ') || ' '"
+    )
+    for k, v in phrase_priority_order(
+        entries_for_components(ALL_COMPONENTS, root=True)
+    ):
+        pat = " " + k.replace(" ", "  ") + " "
+        rep = " " + v.replace(" ", "  ") + " "
+        expr = f"replace({expr}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace({expr}, ' +', ' ', 'g')) AS canon
+        FROM documents
+    """
+
+
 # numex goldens: (phrase, hand-derived fold through the canonicalizer with
 # fold_spelled_numbers=True, fold_roman=True). The expected strings were
 # derived BY HAND from the reference's composition rules (multiplier
@@ -2078,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": _q_canonicalize,
         "canonicalize_expanded": _q_canonicalize_expanded,
         "canonicalize_translit": _q_canonicalize_translit,
+        "canonicalize_classed": _q_canonicalize_classed,
+        "gazetteer_matches": _q_gazetteer_matches,
         "numex_fold": _q_numex_fold,
         "expansion_counts": _q_expansion_counts,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -2483,6 +2614,8 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize": _CANON_SQL,
         "canonicalize_expanded": _expanded_canon_sql(),
         "canonicalize_translit": _translit_sql(),
+        "canonicalize_classed": _classed_canon_sql(),
+        "gazetteer_matches": _gazetteer_sql(),
         "numex_fold": _numex_sql(),
         "expansion_counts": _expansion_counts_sql(),
         "exact_dup_groups": """

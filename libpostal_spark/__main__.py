@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         "(libpostal_spark.dictionaries) before shingling",
     )
     p.add_argument(
+        "--dict-components",
+        default=None,
+        help="comma-separated dictionary classes to activate (qualifier, "
+        "concatenated_suffix_separable, stopword, synonym, "
+        "ambiguous_expansion) — the normalize-options component mask over "
+        "the classed gazetteer; implies --expand",
+    )
+    p.add_argument(
         "--transliterate",
         action="store_true",
         help="fold non-ASCII Latin identifiers to ASCII (CLDR Latin-ASCII "
@@ -57,7 +65,17 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     expansions: tuple = ()
-    if args.expand:
+    if args.dict_components:
+        from .dictionaries import entries_for_components
+
+        classes = tuple(
+            c.strip() for c in args.dict_components.split(",") if c.strip()
+        )
+        # sorted pairs → deterministic config_hash for checkpoint keying
+        expansions = tuple(
+            sorted(entries_for_components(classes, root=True).items())
+        )
+    elif args.expand:
         from .dictionaries import DEFAULT_CODE_EXPANSIONS
 
         expansions = DEFAULT_CODE_EXPANSIONS

@@ -231,6 +231,33 @@ def rewrite_joined_batch(
     return s, m
 
 
+def phrase_match_count_batch(
+    joined: pd.Series, ordered: list[tuple[str, str]]
+) -> list:
+    """Per-PATTERN non-overlapping match counts over the evolving doubled
+    stream — the classed-gazetteer analog of ``search_address_dictionaries_tokens``
+    returning one phrase hit per dictionary entry
+    (/root/reference/src/address_dictionary.c:286-311: the phrase array
+    carries each match's dictionary ids).
+
+    ``ordered`` is the ALREADY priority-ordered (pattern, replacement) list
+    (``phrase_priority_order`` output): each pattern counts its matches on
+    the string as rewritten by every earlier pattern, then applies its own
+    replacement — identical evolving-sequence semantics to
+    ``rewrite_joined_batch`` and to the chained-CTE SQL twin.
+
+    Returns a list of per-pattern count Series (one int64 Series per entry,
+    aligned with ``ordered``).
+    """
+    s = " " + joined.str.replace(" ", "  ", regex=False) + " "
+    counts: list[pd.Series] = []
+    for k, v in ordered:
+        pat, rep = _doubled(k), _doubled(v)
+        counts.append(s.str.count(re.escape(pat)).astype("int64"))
+        s = s.str.replace(pat, rep, regex=False)
+    return counts
+
+
 def phrase_priority_order(exp: dict[str, str]) -> list[tuple[str, str]]:
     """Deterministic application order shared by the pandas rewriter and the
     SQL twin: multi-token phrases first (longest token count first, then

@@ -97,3 +97,126 @@ PHRASE_EXPANSIONS: tuple[tuple[str, str], ...] = (
 DEFAULT_CODE_EXPANSIONS: tuple[tuple[str, str], ...] = (
     PHRASE_EXPANSIONS + SINGLE_TOKEN_EXPANSIONS
 )
+
+
+# --------------------------------------------------------------------------
+# Class-tagged gazetteer (the reference's typed dictionary system).
+#
+# libpostal tags every dictionary entry with a ``dictionary_type`` from the
+# enum at /root/reference/src/gazetteers.h:15-67 (DICTIONARY_SYNONYM=2,
+# DICTIONARY_STOPWORD=3, DICTIONARY_AMBIGUOUS_EXPANSION=5,
+# DICTIONARY_CONCATENATED_SUFFIX_SEPARABLE=13, DICTIONARY_QUALIFIER=16, …)
+# loaded from per-class gazetteer files
+# (resources/dictionaries/<lang>/{qualifiers,stopwords,synonyms,
+# ambiguous_expansions,…}.txt) and lets ``libpostal_normalize_options_t``
+# select which classes fire via its component/flag surface
+# (/root/reference/src/libpostal.h:110-136; class-conditional expansion in
+# src/expand.c:724-1424 — e.g. stopwords are removable only in root form).
+#
+# The code-domain transplant keeps the same five-class shape:
+#
+#   qualifier      — abbreviation → one canonical full form ("cfg"≡"configuration",
+#                    the "St"≡"Street" analog)
+#   concatenated_suffix_separable
+#                  — split compound → concatenated canonical ("call back"≡
+#                    "callback", the "Haupt Strasse"≡"Hauptstrasse" analog)
+#   stopword       — tokens DELETED in the root canonical form (libpostal's
+#                    stopwords.txt; removable-only-in-root semantics)
+#   synonym        — full word → preferred full word ("folder"≡"directory",
+#                    the synonyms.txt analog)
+#   ambiguous_expansion
+#                  — one abbreviation, several expansions ('|'-separated like
+#                    the "st"→street|saint ambiguity class; the root form
+#                    takes the FIRST alternative, expand_alternatives emits
+#                    them all)
+#
+# DEFAULT_COMPONENTS reproduces the historical DEFAULT_CODE_EXPANSIONS
+# behavior exactly (qualifier + concatenated only), so enabling the new
+# classes is strictly opt-in — the reference's address_components default
+# likewise excludes the aggressive classes.
+
+DICTIONARY_QUALIFIER = "qualifier"                              # gazetteers.h:28 (=16)
+DICTIONARY_CONCATENATED = "concatenated_suffix_separable"       # gazetteers.h:25 (=13)
+DICTIONARY_STOPWORD = "stopword"                                # gazetteers.h:18 (=3)
+DICTIONARY_SYNONYM = "synonym"                                  # gazetteers.h:17 (=2)
+DICTIONARY_AMBIGUOUS = "ambiguous_expansion"                    # gazetteers.h:20 (=5)
+
+# comment/doc-prose stopwords, deletable in the root canonical form. Tokens
+# that are language keywords (for/if/in/is/and/or/not/with/as) are
+# deliberately absent — deleting those would fold genuinely different code.
+STOPWORD_TOKENS: tuple[str, ...] = (
+    "a", "an", "the", "of", "this", "that", "these", "those",
+    "into", "onto", "upon", "via",
+)
+
+# full word → preferred full word. Cascade-free like every other class: no
+# replacement below is itself a key of any class.
+SYNONYM_EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("begin", "start"),
+    ("blacklist", "denylist"),
+    ("fetch", "retrieve"),
+    ("folder", "directory"),
+    ("halt", "stop"),
+    ("whitelist", "allowlist"),
+)
+
+# abbreviation → '|'-separated alternatives (the "st" → street|saint class,
+# /root/reference/src/expand.c gazetteer ambiguity handling). Root form =
+# first alternative.
+AMBIGUOUS_EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("exp", "expression|exponent"),
+    ("min", "minimum|minute"),
+    ("sec", "second|security"),
+    ("temp", "temporary|template"),
+)
+
+# (pattern, replacement, dictionary_class) — the full classed gazetteer.
+CLASSED_ENTRIES: tuple[tuple[str, str, str], ...] = (
+    tuple((k, v, DICTIONARY_CONCATENATED) for k, v in PHRASE_EXPANSIONS)
+    + tuple((k, v, DICTIONARY_QUALIFIER) for k, v in SINGLE_TOKEN_EXPANSIONS)
+    + tuple((t, "", DICTIONARY_STOPWORD) for t in STOPWORD_TOKENS)
+    + tuple((k, v, DICTIONARY_SYNONYM) for k, v in SYNONYM_EXPANSIONS)
+    + tuple((k, v, DICTIONARY_AMBIGUOUS) for k, v in AMBIGUOUS_EXPANSIONS)
+)
+
+DEFAULT_COMPONENTS: tuple[str, ...] = (
+    DICTIONARY_CONCATENATED,
+    DICTIONARY_QUALIFIER,
+)
+ALL_COMPONENTS: tuple[str, ...] = (
+    DICTIONARY_CONCATENATED,
+    DICTIONARY_QUALIFIER,
+    DICTIONARY_STOPWORD,
+    DICTIONARY_SYNONYM,
+    DICTIONARY_AMBIGUOUS,
+)
+
+
+def classed_entries_for(components=None) -> tuple[tuple[str, str, str], ...]:
+    """The classed entries whose dictionary class is in ``components``
+    (None → DEFAULT_COMPONENTS), in CLASSED_ENTRIES order."""
+    sel = frozenset(DEFAULT_COMPONENTS if components is None else components)
+    unknown = sel - frozenset(ALL_COMPONENTS)
+    if unknown:
+        raise ValueError(f"unknown dictionary classes: {sorted(unknown)}")
+    return tuple(e for e in CLASSED_ENTRIES if e[2] in sel)
+
+
+def entries_for_components(components=None, root: bool = True) -> dict[str, str]:
+    """pattern → replacement dict for the selected dictionary classes.
+
+    ``root=True`` is the rewriter form (the ``expand_address_root`` analog):
+    ambiguous values collapse to their FIRST alternative and stopwords map
+    to "" (token deletion — libpostal's removable-only-in-root rule).
+    ``root=False`` keeps the '|'-joined alternative lists for
+    ``expand_alternatives`` and DROPS stopword deletions (the reference does
+    not delete stopwords in full expansions).
+    """
+    out: dict[str, str] = {}
+    for pat, rep, cls in classed_entries_for(components):
+        if cls == DICTIONARY_STOPWORD:
+            if root:
+                out[pat] = ""
+            continue
+        out[pat] = rep.split("|")[0] if root else rep
+    return out
