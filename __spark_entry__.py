@@ -379,6 +379,105 @@ def _classed_canon_sql() -> str:
     """
 
 
+# per-language routing fixtures: suffixes chosen by (lang, doc_id % 4).
+# Each language's suffixes exercise its own gazetteer entries (incl. the
+# fr/es overrides of shared keys), and the zh suffixes deliberately carry
+# OTHER languages' words (la/der/el/und) to prove the fallback path leaves
+# them untouched while shared-layer entries still fire.
+_ML_SUFFIXES = {
+    "en": ["the colour of behaviour", "optimise to initialise",
+           "colour cfg the", "to behaviour num"],
+    "de": ["der konfig und nr", "die das nr config",
+           "und der konfig num", "das die nr cfg"],
+    "fr": ["le num la config", "les des num cfg",
+           "la le num attr", "des num les init"],
+    "es": ["el config los num", "las config una cfg",
+           "una los config init", "el las config attr"],
+    "zh": ["config num the cfg", "num cfg la der",
+           "config el und init", "the config num attr"],
+}
+
+
+def _q_canonicalize_multilang(spark, sf_dir):
+    """Language-routed expansion (expand_address_languages: per-language
+    dictionary directories + shared layer, language entry winning on a
+    shared key) — each row rewritten with its lang column's merged
+    gazetteer, all dictionary classes active."""
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.operators.gazetteer import canonicalize_by_language
+
+    langs = sorted(_ML_SUFFIXES)
+    suffix = F.lit(None).cast("string")
+    for lv in langs:
+        arr = F.array(*[F.lit(s) for s in _ML_SUFFIXES[lv]])
+        idx = (
+            F.pmod(F.col("doc_id").cast("long"), F.lit(4)) + 1
+        ).cast("int")
+        suffix = F.when(F.col("lang") == lv, F.element_at(arr, idx)).otherwise(
+            suffix
+        )
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.concat(
+            F.col("text"), F.lit(" "), F.coalesce(suffix, F.lit(""))
+        ).alias("text"),
+    )
+    return canonicalize_by_language(base, components=ALL_COMPONENTS)
+
+
+def _multilang_sql() -> str:
+    """UNION-ALL twin: one arm per language, each a replace chain generated
+    from that language's MERGED gazetteer (shared + per-language, language
+    precedence) in the shared priority order, plus a shared-layer-only arm
+    for languages without a gazetteer."""
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+    from libpostal_spark.dictionaries import (
+        ALL_COMPONENTS,
+        KNOWN_LANGUAGES,
+        entries_for_language,
+    )
+
+    langs = sorted(_ML_SUFFIXES)
+
+    def suffix_case(lv: str) -> str:
+        return (
+            "CASE CAST(doc_id AS BIGINT) % 4 "
+            + " ".join(
+                f"WHEN {i} THEN {_sql_quote(s)}"
+                for i, s in enumerate(_ML_SUFFIXES[lv])
+            )
+            + " END"
+        )
+
+    def chain(lv) -> str:
+        exp = entries_for_language(lv, ALL_COMPONENTS, root=True)
+        e = "' ' || replace(canon0, ' ', '  ') || ' '"
+        for k, v in phrase_priority_order(exp):
+            pat = " " + k.replace(" ", "  ") + " "
+            rep = " " + v.replace(" ", "  ") + " "
+            e = f"replace({e}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+        return f"trim(regexp_replace({e}, ' +', ' ', 'g'))"
+
+    arms = []
+    known = set(KNOWN_LANGUAGES)
+    for lv in langs:
+        composed = f"(text || ' ' || {suffix_case(lv)})"
+        body = chain(lv if lv in known else None)
+        arms.append(f"""
+        SELECT doc_id, lang, {body} AS canon FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   {_canon_expr(composed)} AS canon0
+            FROM documents WHERE lang = {_sql_quote(lv)})""")
+    in_list = ", ".join(_sql_quote(lv) for lv in langs)
+    arms.append(f"""
+        SELECT doc_id, lang, {chain(None)} AS canon FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   {_canon_expr("(text || ' ')")} AS canon0
+            FROM documents WHERE lang IS NULL OR lang NOT IN ({in_list}))""")
+    return " UNION ALL ".join(arms)
+
+
 # numex goldens: (phrase, hand-derived fold through the canonicalizer with
 # fold_spelled_numbers=True, fold_roman=True). The expected strings were
 # derived BY HAND from the reference's composition rules (multiplier
@@ -2208,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_expanded": _q_canonicalize_expanded,
         "canonicalize_translit": _q_canonicalize_translit,
         "canonicalize_classed": _q_canonicalize_classed,
+        "canonicalize_multilang": _q_canonicalize_multilang,
         "gazetteer_matches": _q_gazetteer_matches,
         "numex_fold": _q_numex_fold,
         "expansion_counts": _q_expansion_counts,
@@ -2615,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_expanded": _expanded_canon_sql(),
         "canonicalize_translit": _translit_sql(),
         "canonicalize_classed": _classed_canon_sql(),
+        "canonicalize_multilang": _multilang_sql(),
         "gazetteer_matches": _gazetteer_sql(),
         "numex_fold": _numex_sql(),
         "expansion_counts": _expansion_counts_sql(),

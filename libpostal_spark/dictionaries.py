@@ -202,6 +202,87 @@ def classed_entries_for(components=None) -> tuple[tuple[str, str, str], ...]:
     return tuple(e for e in CLASSED_ENTRIES if e[2] in sel)
 
 
+# --------------------------------------------------------------------------
+# Per-language gazetteers (the reference's language dimension).
+#
+# libpostal ships one dictionary DIRECTORY per language
+# (resources/dictionaries/{en,de,fr,es,…}/*.txt) plus a shared "all"
+# dictionary, namespaced in one trie as "<lang>|<key>"
+# (/root/reference/src/address_dictionary.c search by language;
+# ``libpostal_expand_address``'s options.languages selects which are
+# consulted, src/expand.c:1452-1536 — when empty, the language classifier
+# decides). The language-specific entry takes precedence over the shared
+# one for the same key.
+#
+# Code-domain transplant: the shared gazetteer above is the "all" layer;
+# each document language adds (a) its own stopwords and (b) spelling /
+# abbreviation folds specific to that language's identifier conventions
+# (en: British→American identifier spellings; fr/es/de: native
+# abbreviations, which may OVERRIDE a shared key — e.g. "num" folds to
+# "numero" for French rows, "number" otherwise, exactly the namespaced-trie
+# precedence). Languages without a gazetteer (zh) fall back to the shared
+# layer alone.
+
+LANGUAGE_GAZETTEERS: dict[str, tuple[tuple[str, str, str], ...]] = {
+    "en": (
+        ("to", "", DICTIONARY_STOPWORD),
+        ("behaviour", "behavior", DICTIONARY_SYNONYM),
+        ("colour", "color", DICTIONARY_SYNONYM),
+        ("optimise", "optimize", DICTIONARY_SYNONYM),
+        ("initialise", "initialize", DICTIONARY_SYNONYM),
+    ),
+    "de": (
+        ("der", "", DICTIONARY_STOPWORD),
+        ("die", "", DICTIONARY_STOPWORD),
+        ("das", "", DICTIONARY_STOPWORD),
+        ("und", "", DICTIONARY_STOPWORD),
+        ("konfig", "konfiguration", DICTIONARY_QUALIFIER),
+        ("nr", "nummer", DICTIONARY_QUALIFIER),
+    ),
+    "fr": (
+        ("le", "", DICTIONARY_STOPWORD),
+        ("la", "", DICTIONARY_STOPWORD),
+        ("les", "", DICTIONARY_STOPWORD),
+        ("des", "", DICTIONARY_STOPWORD),
+        # overrides the shared qualifier "num" → "number"
+        ("num", "numero", DICTIONARY_QUALIFIER),
+    ),
+    "es": (
+        ("el", "", DICTIONARY_STOPWORD),
+        ("los", "", DICTIONARY_STOPWORD),
+        ("las", "", DICTIONARY_STOPWORD),
+        ("una", "", DICTIONARY_STOPWORD),
+        # overrides the shared qualifier "config" → "configuration"
+        ("config", "configuracion", DICTIONARY_QUALIFIER),
+    ),
+    # zh: no per-language gazetteer — shared layer only (the fallback path)
+}
+
+KNOWN_LANGUAGES: tuple[str, ...] = tuple(sorted(LANGUAGE_GAZETTEERS))
+
+
+def entries_for_language(
+    lang: str | None, components=None, root: bool = True
+) -> dict[str, str]:
+    """Merged pattern → replacement dict for one document language: the
+    shared gazetteer plus the language's own entries, language winning on a
+    shared key (the "<lang>|<key>" trie-namespace precedence). Unknown or
+    missing languages get the shared layer alone. The component mask
+    filters BOTH layers (dictionary_type filtering is language-agnostic in
+    the reference)."""
+    out = entries_for_components(components, root=root)
+    sel = frozenset(DEFAULT_COMPONENTS if components is None else components)
+    for pat, rep, cls in LANGUAGE_GAZETTEERS.get(lang or "", ()):
+        if cls not in sel:
+            continue
+        if cls == DICTIONARY_STOPWORD:
+            if root:
+                out[pat] = ""
+            continue
+        out[pat] = rep.split("|")[0] if root else rep
+    return out
+
+
 def entries_for_components(components=None, root: bool = True) -> dict[str, str]:
     """pattern → replacement dict for the selected dictionary classes.
 

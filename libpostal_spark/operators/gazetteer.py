@@ -69,6 +69,54 @@ def canonicalize_classed(
     )
 
 
+def canonicalize_by_language(
+    df: DataFrame,
+    components=None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-routed root canonicalization: each row is expanded with ITS
+    language's merged gazetteer (shared layer + per-language entries, the
+    "<lang>|<key>" trie-namespace precedence of
+    /root/reference/src/address_dictionary.c; language selection =
+    ``libpostal_expand_address`` options.languages,
+    /root/reference/src/expand.c:1452-1536 — here the corpus's lang column
+    plays the role of the language classifier's output).
+
+    One Arrow UDF; inside each batch the rows are grouped by language and
+    each group is rewritten vectorized with that language's dictionary —
+    per-GROUP pandas work, never per-row. Unknown languages fall back to
+    the shared layer.
+    """
+    from ..dictionaries import KNOWN_LANGUAGES, entries_for_language
+
+    by_lang = {
+        lv: entries_for_language(lv, components, root=True)
+        for lv in KNOWN_LANGUAGES
+    }
+    base = entries_for_language(None, components, root=True)
+
+    @F.pandas_udf(T.StringType())
+    def routed_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for content, lang in it:
+            out = pd.Series("", index=content.index, dtype=object)
+            for lv in lang.fillna("").unique():
+                m = (lang.fillna("") == lv).to_numpy()
+                out[m] = canonicalize_batch(
+                    content[m], expansions=by_lang.get(lv, base)
+                )
+            yield out
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(lang_col).alias("lang"),
+        routed_udf(F.col(text_col), F.col(lang_col)).alias("canon"),
+    )
+
+
 def phrase_class_matches(
     df: DataFrame,
     components=None,

@@ -122,6 +122,69 @@ def test_evolving_order_phrase_shadows_tokens():
     assert byname["a"] == [1]
 
 
+def test_language_gazetteer_merge_precedence():
+    from libpostal_spark.dictionaries import entries_for_language
+
+    fr = entries_for_language("fr", ALL_COMPONENTS)
+    assert fr["num"] == "numero"            # language overrides shared key
+    assert fr["cfg"] == "configuration"     # shared layer retained
+    assert fr["le"] == ""                   # language stopword deletes
+    en = entries_for_language("en", ALL_COMPONENTS)
+    assert en["colour"] == "color" and en["num"] == "number"
+    # no gazetteer for zh → shared layer alone (same for unknown/None)
+    assert entries_for_language("zh", ALL_COMPONENTS) == entries_for_components(
+        ALL_COMPONENTS
+    )
+    assert entries_for_language(None, ALL_COMPONENTS) == entries_for_components(
+        ALL_COMPONENTS
+    )
+    # the component mask filters the language layer too
+    assert "colour" not in entries_for_language("en")       # synonym masked out
+    assert entries_for_language("de")["nr"] == "nummer"     # qualifier passes
+
+
+def test_language_gazetteers_cascade_free():
+    from libpostal_spark.dictionaries import (
+        LANGUAGE_GAZETTEERS,
+        entries_for_language,
+    )
+
+    for lv in list(LANGUAGE_GAZETTEERS) + [None]:
+        full = entries_for_language(lv, ALL_COMPONENTS, root=True)
+        keys = set(full)
+        for v in full.values():
+            toks = v.split(" ") if v else []
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks) + 1):
+                    assert " ".join(toks[i : j]) not in keys, (lv, v)
+
+
+def test_canonicalize_by_language_routing(spark):
+    from libpostal_spark.operators.gazetteer import canonicalize_by_language
+
+    rows = [
+        (0, "en", "the colour num"),
+        (1, "fr", "le num config"),
+        (2, "zh", "la num the"),
+        (3, None, "num cfg"),
+        (4, "xx", "colour der num"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: r.canon
+        for r in canonicalize_by_language(
+            df, components=ALL_COMPONENTS
+        ).collect()
+    }
+    assert out[0] == "color number"
+    assert out[1] == "numero configuration"
+    # zh: shared layer fires ("the" deleted, num folded), fr's "la" does NOT
+    assert out[2] == "la number"
+    assert out[3] == "number configuration"
+    # unknown language == shared-layer fallback: en's "colour"/de's "der" kept
+    assert out[4] == "colour der number"
+
+
 @pytest.fixture(scope="module")
 def tiny_docs(spark):
     rows = [
