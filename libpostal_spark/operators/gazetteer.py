@@ -154,8 +154,15 @@ def phrase_class_matches(
         F.col(id_col).cast("long").alias(id_col),
         count_udf(F.col(text_col)).alias("counts"),
     )
+    # posexplode_OUTER: the non-outer form triggers InferFiltersFromGenerate
+    # (an inferred size(counts) > 0 filter), whose extracted Python UDF gets
+    # its own ArrowEvalPython — evaluating the count UDF TWICE. The outer
+    # generate skips the inferred filter; its extra null rows die in the
+    # n_matches > 0 predicate anyway (plan-pinned in tests/test_plans.py).
     return (
-        counted.select(id_col, F.posexplode("counts").alias("pos", "n_matches"))
+        counted.select(
+            id_col, F.posexplode_outer("counts").alias("pos", "n_matches")
+        )
         .where(F.col("n_matches") > 0)
         .select(
             id_col,

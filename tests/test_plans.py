@@ -235,3 +235,33 @@ def test_ann_bruteforce_single_stage(spark):
     plan = _plan(top)
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gazetteer_matches_narrow_plan(spark):
+    """phrase_class_matches must stay a narrow map: ONE Arrow UDF pass, the
+    explode and (class, pattern) lookup JVM-side, and NO exchange — at 100 TB
+    the operator costs exactly one scan, zero shuffles."""
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.operators.gazetteer import phrase_class_matches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = phrase_class_matches(docs, components=ALL_COMPONENTS)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    # one UDF NODE (formatted plans repeat each node in tree + details)
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1, plan
+    assert "Generate" in plan, plan          # posexplode is JVM-side
+    # only the two referenced columns are read
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "n_chars" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_canonicalize_by_language_narrow_plan(spark):
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.operators.gazetteer import canonicalize_by_language
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = canonicalize_by_language(docs, components=ALL_COMPONENTS)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1, plan
