@@ -478,6 +478,106 @@ def _multilang_sql() -> str:
     return " UNION ALL ".join(arms)
 
 
+# classifier-routed fixtures: suffixes carrying each language's MARKER
+# words (so the lang_id argmax picks that language) plus words its
+# gazetteer folds — doc_id % 6. Index 0 leaves the text natural (en or und
+# prediction); index 5 mixes two languages' markers so the strictly-greater
+# dict-order argmax tiebreak is exercised end-to-end.
+_LR_SUFFIXES = [
+    "",
+    "der die und das konfig nr",
+    "le la et les num config",
+    "el la de los config num",
+    "the and of colour behaviour",
+    "der die und le la et",
+]
+
+
+def _q_canonicalize_langid_routed(spark, sf_dir):
+    """The reference's DEFAULT expand path: with options.languages empty,
+    the language classifier decides which dictionaries apply
+    (src/expand.c language selection via src/language_classifier.c). Here
+    the marker lang_id plays the classifier and feeds
+    canonicalize_by_language — prediction and routing in one plan, no
+    intermediate materialization."""
+    from libpostal_spark.dictionaries import ALL_COMPONENTS
+    from libpostal_spark.functions.textstats import lang_id
+    from libpostal_spark.operators.gazetteer import canonicalize_by_language
+
+    arr = F.array(*[F.lit(s) for s in _LR_SUFFIXES])
+    idx = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_LR_SUFFIXES))) + 1
+    ).cast("int")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.rtrim(
+            F.concat(F.col("text"), F.lit(" "), F.element_at(arr, idx))
+        ).alias("text"),
+    )
+    routed = base.select(
+        "doc_id", F.col("text"), lang_id(F.col("text")).alias("lang_pred")
+    )
+    out = canonicalize_by_language(
+        routed, components=ALL_COMPONENTS, lang_col="lang_pred"
+    )
+    return out.select(
+        "doc_id", F.col("lang").alias("lang_pred"), "canon"
+    )
+
+
+def _langid_routed_sql() -> str:
+    """Twin: the marker-argmax expression predicts the language of the SAME
+    decorated text, then a UNION-ALL arm per predicted language applies that
+    language's merged replace chain (shared fallback arm for everything
+    else, incl. 'und')."""
+    from libpostal_spark.core.canonicalize import phrase_priority_order
+    from libpostal_spark.dictionaries import (
+        ALL_COMPONENTS,
+        KNOWN_LANGUAGES,
+        entries_for_language,
+    )
+
+    n = len(_LR_SUFFIXES)
+    suffix = (
+        f"CASE CAST(doc_id AS BIGINT) % {n} "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_quote(s)}"
+            for i, s in enumerate(_LR_SUFFIXES)
+        )
+        + " END"
+    )
+
+    def chain(lv) -> str:
+        exp = entries_for_language(lv, ALL_COMPONENTS, root=True)
+        e = "' ' || replace(canon0, ' ', '  ') || ' '"
+        for k, v in phrase_priority_order(exp):
+            pat = " " + k.replace(" ", "  ") + " "
+            rep = " " + v.replace(" ", "  ") + " "
+            e = f"replace({e}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+        return f"trim(regexp_replace({e}, ' +', ' ', 'g'))"
+
+    arms = [
+        f"""
+        SELECT doc_id, lang_pred, {chain(lv)} AS canon FROM p
+        WHERE lang_pred = {_sql_quote(lv)}"""
+        for lv in KNOWN_LANGUAGES
+    ]
+    in_list = ", ".join(_sql_quote(lv) for lv in KNOWN_LANGUAGES)
+    arms.append(f"""
+        SELECT doc_id, lang_pred, {chain(None)} AS canon FROM p
+        WHERE lang_pred NOT IN ({in_list})""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          rtrim(text || ' ' || {suffix}) AS text
+                   FROM documents),
+             p AS (SELECT doc_id, {_langid_sql()} AS lang_pred,
+                          {_canon_expr('text')} AS canon0
+                   FROM d)
+        {union}
+    """
+
+
 # numex goldens: (phrase, hand-derived fold through the canonicalizer with
 # fold_spelled_numbers=True, fold_roman=True). The expected strings were
 # derived BY HAND from the reference's composition rules (multiplier
@@ -2308,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_translit": _q_canonicalize_translit,
         "canonicalize_classed": _q_canonicalize_classed,
         "canonicalize_multilang": _q_canonicalize_multilang,
+        "canonicalize_langid_routed": _q_canonicalize_langid_routed,
         "gazetteer_matches": _q_gazetteer_matches,
         "numex_fold": _q_numex_fold,
         "expansion_counts": _q_expansion_counts,
@@ -2716,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_translit": _translit_sql(),
         "canonicalize_classed": _classed_canon_sql(),
         "canonicalize_multilang": _multilang_sql(),
+        "canonicalize_langid_routed": _langid_routed_sql(),
         "gazetteer_matches": _gazetteer_sql(),
         "numex_fold": _numex_sql(),
         "expansion_counts": _expansion_counts_sql(),
