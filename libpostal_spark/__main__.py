@@ -66,15 +66,19 @@ def main(argv: list[str] | None = None) -> int:
 
     expansions: tuple = ()
     if args.dict_components:
-        from .dictionaries import entries_for_components
+        from .dictionaries import ALL_COMPONENTS, entries_for_components
 
         classes = tuple(
             c.strip() for c in args.dict_components.split(",") if c.strip()
         )
+        if not classes:
+            p.error("--dict-components: no dictionary classes given")
+        try:
+            entries = entries_for_components(classes, root=True)
+        except ValueError as e:
+            p.error(f"--dict-components: {e}; valid: {', '.join(ALL_COMPONENTS)}")
         # sorted pairs → deterministic config_hash for checkpoint keying
-        expansions = tuple(
-            sorted(entries_for_components(classes, root=True).items())
-        )
+        expansions = tuple(sorted(entries.items()))
     elif args.expand:
         from .dictionaries import DEFAULT_CODE_EXPANSIONS
 

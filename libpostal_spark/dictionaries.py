@@ -273,14 +273,23 @@ def entries_for_language(
     out = entries_for_components(components, root=root)
     sel = frozenset(DEFAULT_COMPONENTS if components is None else components)
     for pat, rep, cls in LANGUAGE_GAZETTEERS.get(lang or "", ()):
-        if cls not in sel:
-            continue
-        if cls == DICTIONARY_STOPWORD:
-            if root:
-                out[pat] = ""
-            continue
-        out[pat] = rep.split("|")[0] if root else rep
+        if cls in sel:
+            _add_entry(out, pat, rep, cls, root)
     return out
+
+
+def _add_entry(
+    out: dict[str, str], pat: str, rep: str, cls: str, root: bool
+) -> None:
+    """Shared per-class root-collapse rule (stopwords delete only in root
+    form; ambiguous folds to its first alternative in root form) — one
+    definition so the shared layer, the language layers, and therefore the
+    generated SQL twins can never desync."""
+    if cls == DICTIONARY_STOPWORD:
+        if root:
+            out[pat] = ""
+        return
+    out[pat] = rep.split("|")[0] if root else rep
 
 
 def entries_for_components(components=None, root: bool = True) -> dict[str, str]:
@@ -295,9 +304,5 @@ def entries_for_components(components=None, root: bool = True) -> dict[str, str]
     """
     out: dict[str, str] = {}
     for pat, rep, cls in classed_entries_for(components):
-        if cls == DICTIONARY_STOPWORD:
-            if root:
-                out[pat] = ""
-            continue
-        out[pat] = rep.split("|")[0] if root else rep
+        _add_entry(out, pat, rep, cls, root)
     return out

@@ -56,16 +56,14 @@ def canonicalize_classed(
     """Root canonical form under the selected dictionary classes — the
     ``expand_address_root`` analog with the options' component mask applied
     (stopwords deleted, ambiguous folded to the first alternative)."""
-    expansions = entries_for_components(components, root=True)
+    from ..functions.udfs import make_canonicalize_udf
 
-    @F.pandas_udf(T.StringType())
-    def classed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for content in it:
-            yield canonicalize_batch(content, expansions=expansions)
-
+    udf = make_canonicalize_udf(
+        expansions=entries_for_components(components, root=True)
+    )
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
-        classed_udf(F.col(text_col)).alias("canon"),
+        udf(F.col(text_col)).alias("canon"),
     )
 
 
@@ -135,6 +133,11 @@ def phrase_class_matches(
     (class, pattern) lookup, and the n>0 filter are all JVM-side.
     """
     ordered = _ordered_classed(components)
+    if not ordered:
+        # fail at plan time, not as an opaque executor-side pd.concat error
+        raise ValueError(
+            "phrase_class_matches: the component mask selects no entries"
+        )
     pairs = [(k, v) for k, v, _ in ordered]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
