@@ -253,8 +253,21 @@ def phrase_match_count_batch(
     counts: list[pd.Series] = []
     for k, v in ordered:
         pat, rep = _doubled(k), _doubled(v)
-        counts.append(s.str.count(re.escape(pat)).astype("int64"))
-        s = s.str.replace(pat, rep, regex=False)
+        if len(pat) != len(rep):
+            # count from the length delta of the replace we perform anyway
+            # (exact: non-overlapping replaces shift length by n*(Δlen) —
+            # the same length-diff identity the SQL twin uses), skipping a
+            # whole regex pass per pattern
+            before = s.str.len()
+            s = s.str.replace(pat, rep, regex=False)
+            counts.append(
+                ((before - s.str.len()) // (len(pat) - len(rep))).astype(
+                    "int64"
+                )
+            )
+        else:
+            counts.append(s.str.count(re.escape(pat)).astype("int64"))
+            s = s.str.replace(pat, rep, regex=False)
     return counts
 
 

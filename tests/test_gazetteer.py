@@ -185,6 +185,55 @@ def test_canonicalize_by_language_routing(spark):
     assert out[4] == "colour der number"
 
 
+def test_rewrite_fixpoint_fuzz():
+    """Cascade-freedom as a measured property: one rewrite pass is a
+    fixpoint for EVERY dictionary layer (shared + each language), on random
+    streams mixing dictionary keys, phrase fragments, and fillers."""
+    import random
+
+    from libpostal_spark.dictionaries import (
+        LANGUAGE_GAZETTEERS,
+        entries_for_language,
+    )
+
+    rng = random.Random(20260817)
+    dicts = {lv: entries_for_language(lv, ALL_COMPONENTS)
+             for lv in list(LANGUAGE_GAZETTEERS) + [None]}
+    vocab = sorted({t for d in dicts.values() for k in d for t in k.split()})
+    fillers = ["alpha", "beta", "gamma", "x1", "handler", "worker"]
+    docs = pd.Series([
+        " ".join(rng.choice(vocab + fillers) for _ in range(rng.randint(0, 30)))
+        for _ in range(300)
+    ])
+    for lv, exp in dicts.items():
+        once, n1 = rewrite_joined_batch(docs, exp, count_matches=True)
+        twice, n2 = rewrite_joined_batch(once, exp, count_matches=True)
+        assert (once == twice).all(), lv
+        assert (n2 == 0).all(), lv
+        # per-pattern counts decompose the total exactly
+        ordered = phrase_priority_order(exp)
+        counts = phrase_match_count_batch(docs, ordered)
+        assert (sum(counts) == n1).all(), lv
+
+
+def test_classed_canon_has_no_stopwords_fuzz():
+    import random
+
+    from libpostal_spark.dictionaries import STOPWORD_TOKENS
+
+    rng = random.Random(7)
+    full = entries_for_components(ALL_COMPONENTS, root=True)
+    words = list(STOPWORD_TOKENS) + ["cfg", "sec", "folder", "plain", "x"]
+    docs = pd.Series([
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 25)))
+        for _ in range(200)
+    ])
+    canon = canonicalize_batch(docs, expansions=full)
+    banned = set(STOPWORD_TOKENS)
+    for c in canon:
+        assert not (set(c.split(" ")) & banned) or c == "", c
+
+
 @pytest.fixture(scope="module")
 def tiny_docs(spark):
     rows = [
