@@ -73,6 +73,36 @@ def test_cli_expand_changes_config(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_dict_components(tmp_path):
+    """--dict-components activates a classed dictionary mask: a different
+    mask is a different config_hash (semantic), the full run completes, and
+    invalid values die as argparse errors naming the valid classes."""
+    corpus = _corpus()
+    s = _run_cli([
+        "--input", corpus, "--output", str(tmp_path / "oc"),
+        "--master", "local[4]",
+        "--dict-components", "qualifier,stopword,synonym",
+    ])
+    assert s["n_files"] > 0 and s["n_components"] > 0
+    expand_hash = _run_cli([
+        "--input", corpus, "--output", str(tmp_path / "oe"),
+        "--master", "local[4]", "--expand",
+    ])["config_hash"]
+    assert s["config_hash"] != expand_hash
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "libpostal_spark",
+         "--input", corpus, "--output", str(tmp_path / "bad"),
+         "--dict-components", "stopwords"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "unknown dictionary classes" in proc.stderr
+    assert "qualifier" in proc.stderr      # error names the valid classes
+
+
+@pytest.mark.slow
 def test_cli_catalog_table_roundtrip(tmp_path):
     """--format table: the catalog-table surface (read.table in,
     saveAsTable out) runs end-to-end on stock Spark — the same shape the
