@@ -138,6 +138,7 @@ class CheckpointStore:
         self.root = root
         self.config_hash = config_hash
         self.metrics: list[dict] = []
+        self._metrics_written = 0   # write_metrics appends only new rows
 
     # ------------------------------------------------------------- paths
     def _base(self, stage: str) -> str:
@@ -281,6 +282,12 @@ class CheckpointStore:
         """
         expr = pt_expr.format(n=n_pt)
         keyed = input_df.withColumn("pt", F.expr(expr))
+        # read-backs pass the output schema explicitly, so a commit group
+        # (or a whole stage) that wrote ZERO rows still reads back as an
+        # empty frame instead of dying on parquet schema inference over a
+        # dir with no part files. Taken from the first group's plan when
+        # work exists; from a plan-only empty application of fn otherwise.
+        out_schema = None
         done = set(self.completed(name, input_fingerprint, n_pt=n_pt))
         done.discard(-1)
         todo_pts = [p for p in range(n_pt) if p not in done]
@@ -301,14 +308,17 @@ class CheckpointStore:
                 g0 = time.time()
                 todo = keyed.filter(F.col("pt").isin(group))
                 out = fn(todo.drop("pt")).withColumn("pt", F.expr(expr))
+                out_schema = out.schema
                 (
                     out.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("pt")
                     .parquet(self._data_dir(name))
                 )
-                written = self.spark.read.parquet(self._data_dir(name)).filter(
-                    F.col("pt").isin(group)
+                written = (
+                    self.spark.read.schema(out_schema)
+                    .parquet(self._data_dir(name))
+                    .filter(F.col("pt").isin(group))
                 )
                 per_pt = {
                     r["pt"]: r["n"]
@@ -337,13 +347,29 @@ class CheckpointStore:
                 wall_ms=int((time.time() - t0) * 1000),
             )
         )
-        return self.spark.read.parquet(self._data_dir(name)).drop("pt")
+        if out_schema is None:                      # fully resumed stage
+            out_schema = (
+                fn(keyed.drop("pt").limit(0))
+                .withColumn("pt", F.expr(expr))
+                .schema
+            )
+        return (
+            self.spark.read.schema(out_schema)
+            .parquet(self._data_dir(name))
+            .drop("pt")
+        )
 
     def write_metrics(self) -> str | None:
         """Persist the accumulated per-stage metrics ledger (FIXTURES.md §4)
         as a Spark-written JSON table next to the checkpoint tables."""
         if not self.root:
             return None
+        # append only the rows accumulated since the last write: a reused
+        # store (session-reuse path: several pipeline runs on one instance)
+        # must not re-append earlier runs' rows to the ledger
+        fresh = self.metrics[self._metrics_written:]
+        if not fresh:
+            return f"{self.root}/metrics/config={self.config_hash}"
         path = f"{self.root}/metrics/config={self.config_hash}"
         df = self.spark.createDataFrame(
             [
@@ -354,11 +380,12 @@ class CheckpointStore:
                     m.get("rows"),
                     m.get("wall_ms"),
                 )
-                for m in self.metrics
+                for m in fresh
             ],
             "stage string, config_hash string, resumed boolean, rows long, wall_ms long",
         )
         df.coalesce(1).write.mode("append").json(path)
+        self._metrics_written = len(self.metrics)
         return path
 
 

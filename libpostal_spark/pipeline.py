@@ -82,6 +82,7 @@ class DedupPipeline:
         multiple pipeline invocations in one session."""
         cfg = self.cfg
         persisted: list[DataFrame] = []
+        m0 = len(self.store.metrics)   # result carries THIS run's rows only
         resumable = not isinstance(self.store, NullStore)
         in_memory = persist_intermediate and not resumable
         fp = None
@@ -130,9 +131,14 @@ class DedupPipeline:
             persisted.append(with_rep)
             with_rep.count()
             sigs = with_rep.drop("rep_fid")
-            rep_sigs, exact_edges = blocking.exact_groups(with_rep)
         else:
-            rep_sigs, exact_edges = blocking.exact_groups(sigs)
+            # same cheap-rep-map form as the in-memory path (the sha2-only
+            # agg + AQE-broadcast join), shared by exact_groups AND the
+            # label universe — the checkpointed path previously windowed the
+            # full signature payload on sha256 twice (here and at the
+            # universe select)
+            with_rep = blocking.exact_rep_frame(sigs, ided)
+        rep_sigs, exact_edges = blocking.exact_groups(with_rep)
         keys = self.store.stage(
             "band_buckets", lambda: blocking.blocking_keys(rep_sigs, cfg), fp
         )
@@ -173,9 +179,7 @@ class DedupPipeline:
         # broadcast-able join over the small rep_labels frame replaces the
         # former union + two joins: same output, one planning wave, and at
         # scale the build side is |CC-labeled reps| — tiny next to the corpus.
-        universe = (
-            with_rep if in_memory else blocking.exact_rep_frame(sigs)
-        ).select("fid", "rep_fid")
+        universe = with_rep.select("fid", "rep_fid")
         clusters = (
             universe.join(
                 rep_labels.select(
@@ -199,6 +203,6 @@ class DedupPipeline:
             confirmed=confirmed,
             clusters=clusters,
             bucket_stats=bucket_stats,
-            metrics=list(self.store.metrics),
+            metrics=list(self.store.metrics[m0:]),
             persisted=persisted,
         )

@@ -18,8 +18,6 @@ reference expects its host system to schedule dedup passes.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,7 +35,12 @@ def signature_sink(
     """files stream → per-micro-batch featurize → append parquet signatures.
 
     Returns the StreamingQuery. The sink table has the batch signatures
-    schema plus a `batch_id` lineage column (resume = max(batch_id)).
+    schema plus a `batch_id` lineage PARTITION column (resume =
+    max(batch_id)). foreachBatch is at-least-once: a batch replayed after a
+    crash between the data write and the checkpoint commit re-delivers with
+    the SAME batch_id, so the write is a dynamic overwrite of that batch's
+    own partition — the replay replaces its rows instead of appending them
+    twice.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -46,7 +49,12 @@ def signature_sink(
         sigs = blocking.signatures(batch_df, cfg).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        sigs.write.mode("append").parquet(out_dir)
+        (
+            sigs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(handle)
@@ -82,10 +90,14 @@ def stateful_exact_dup_stream(stream: DataFrame, cfg: PipelineConfig) -> DataFra
         fids: list[str] = []
         for pdf in pdfs:
             fids.extend(pdf["fid"])
-        fids.sort()
+        # unique + sorted: a duplicated input row (at-least-once source
+        # replay inside one batch) is one arrival, not two alert rows
+        fids = sorted(set(fids))
         if state.exists:
             first = state.get[0]
-            dups = fids
+            # the canonical copy re-arriving (source replay) is not a
+            # duplicate of itself
+            dups = [f for f in fids if f != first]
         else:
             first = fids[0]               # canonical copy: min fid of batch 1
             dups = fids[1:]
@@ -146,8 +158,15 @@ def windowed_ingest_stats(
             F.col("window.end").alias("window_end"),
             "n_files",
             "n_distinct",
+            # clamp at 0: approx_count_distinct may overestimate above
+            # n_files on an all-distinct window, which would read as a
+            # (nonsensical) negative duplication rate
             F.round(
-                1.0 - F.col("n_distinct").cast("double") / F.col("n_files"),
+                F.greatest(
+                    F.lit(0.0),
+                    1.0
+                    - F.col("n_distinct").cast("double") / F.col("n_files"),
+                ),
                 4,
             ).alias("dup_rate_est"),
         )
@@ -236,19 +255,22 @@ def stateful_near_dup_candidates(
         arrivals: list[str] = []
         for pdf in pdfs:
             arrivals.extend(pdf["fid"])
-        arrivals.sort()
+        # unique + sorted: a row replayed inside one batch is one arrival
+        arrivals = sorted(set(arrivals))
         stored: list[str] = list(state.get[0]) if state.exists else []
         out_fid, out_match = [], []
         for fid in arrivals:
+            # membership guard: a STORED fid re-arriving (at-least-once
+            # source replay) already emitted its pairs at first arrival —
+            # skip both the re-alert and the second state slot. (A fid that
+            # was cap-evicted and re-arrives does re-alert: bounded state
+            # cannot remember it, the documented star-pairing trade.)
+            if fid in stored:
+                continue
             for m in stored:
-                if m != fid:
-                    out_fid.append(fid)
-                    out_match.append(m)
-            # membership guard: a fid re-arriving in a later micro-batch
-            # must not occupy a second bounded-state slot or re-alert
-            # every subsequent arrival twice (stored is <= max_state_fids
-            # entries, so the linear scan is fine)
-            if len(stored) < max_state_fids and fid not in stored:
+                out_fid.append(fid)
+                out_match.append(m)
+            if len(stored) < max_state_fids:
                 stored.append(fid)
         state.update((stored,))
         if out_fid:

@@ -335,3 +335,51 @@ def test_input_fingerprint_distinguishes_plans_on_same_files(spark, tmp_path):
     assert filtered == input_fingerprint(
         spark.read.parquet(p).filter(F.col("lang") == "py")
     )
+
+
+def test_partitioned_stage_zero_row_groups(spark, tmp_path):
+    """A commit group (here: every group) that writes ZERO rows must read
+    back as an empty frame, not die on parquet schema inference over a data
+    dir with no part files."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "z_ckpt"), "cfgZ")
+    empty = spark.createDataFrame([], "fid string, v long")
+    out = store.partitioned_stage(
+        "sigs", empty, lambda sub: sub.withColumn("out", F.col("v") * 2),
+        "fpZ", n_pt=8, pts_per_commit=4,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"fid", "v", "out"}
+    # and the resumed read of the same empty stage works too
+    store2 = CheckpointStore(spark, str(tmp_path / "z_ckpt"), "cfgZ")
+    out2 = store2.partitioned_stage(
+        "sigs", empty, lambda sub: sub.withColumn("out", F.col("v") * 2),
+        "fpZ", n_pt=8, pts_per_commit=4,
+    )
+    assert out2.count() == 0
+
+
+def test_metrics_ledger_not_duplicated_on_reuse(spark, small_pdf, tmp_path):
+    """Reusing one store across runs appends only the NEW rows to the
+    metrics ledger, and each PipelineResult carries only its own run."""
+    from libpostal_spark.config import PipelineConfig
+    from libpostal_spark.pipeline import DedupPipeline
+
+    files = spark.createDataFrame(small_pdf)
+    pipe = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_root=str(tmp_path / "m_ckpt")
+    )
+    r1 = pipe.run(files)
+    r1.clusters.count()
+    n1 = len(r1.metrics)
+    r2 = pipe.run(files)
+    r2.clusters.count()
+    assert len(r2.metrics) == len(pipe.store.metrics) - n1
+    assert r1.metrics[0] not in r2.metrics or n1 == 0
+    ledger = spark.read.json(
+        f"{tmp_path}/m_ckpt/metrics/config={pipe.cfg.config_hash}"
+    )
+    assert ledger.count() == len(pipe.store.metrics)

@@ -207,3 +207,123 @@ def test_stateful_near_dup_candidates(spark, tmp_path):
     assert not any(
         fids["z.py"] in p for p in pairs if p != (fids["z.py"], fids["z.py"])
     )
+
+
+def test_signature_sink_full_redelivery_idempotent(spark, cfg, tmp_path):
+    """foreachBatch is at-least-once: a re-delivered batch (same batch_id)
+    must REPLACE its own rows, not append them twice. Simulated by running a
+    fresh query (fresh checkpoint -> batch_id 0 again) against the same
+    sink directory."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "sigs")
+    os.makedirs(src)
+    pdf = generate_corpus(n_base=12, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    for attempt in range(2):                      # second pass = replay
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming.signature_sink(
+            stream, cfg, out, str(tmp_path / f"ckpt{attempt}")
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == len(pdf)                # not doubled
+    assert got.select("fid").distinct().count() == len(pdf)
+
+
+def test_stateful_exact_dup_no_self_alert_on_replay(spark, cfg, tmp_path):
+    """The canonical copy re-delivered in a later batch must not be flagged
+    as a duplicate of itself, and a duplicated row within one batch is one
+    arrival (one alert), not two."""
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "sckpt")
+    os.makedirs(src)
+    schema = "repo string, path string, commit string, lang string, content string"
+    cols = ["repo", "path", "commit", "lang", "content"]
+
+    row = ("r1", "a.py", "c", "py", "the content")
+    dup = ("r2", "b.py", "c", "py", "the content")
+    # batch 1: canonical + an exact dup delivered TWICE (in-batch replay)
+    spark.createDataFrame(
+        pd.DataFrame([row, dup, dup], columns=cols)
+    ).write.mode("append").parquet(src)
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming.stateful_exact_dup_stream(stream, cfg)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    got1 = spark.read.parquet(sink).collect()
+    assert len(got1) == 1                         # one alert, not two
+    assert got1[0]["fid"] != got1[0]["first_fid"]
+
+    # batch 2: the CANONICAL row re-delivered (same repo/path/commit -> same
+    # fid) -> no self-alert. The canonical is the MIN fid of batch 1, which
+    # can be either input row — pick it by its stored first_fid.
+    from libpostal_spark.operators import blocking
+
+    fid_by_row = {
+        r["fid"]: (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in blocking.with_ids(
+            spark.createDataFrame(pd.DataFrame([row, dup], columns=cols))
+        ).collect()
+    }
+    canonical_row = fid_by_row[got1[0]["first_fid"]]
+    spark.createDataFrame(
+        pd.DataFrame([canonical_row], columns=cols)
+    ).write.mode("append").parquet(src)
+    run_pass()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 1                         # nothing new
+    assert all(r["fid"] != r["first_fid"] for r in got2)
+
+
+def test_stateful_near_dup_no_realert_on_replay(spark, tmp_path):
+    """A stored member re-delivered in a later batch must not re-emit its
+    candidate pairs."""
+    from libpostal_spark.config import PipelineConfig
+    from libpostal_spark.streaming import stateful_near_dup_candidates
+
+    cfg = PipelineConfig()
+    base = " ".join(f"tok{i} fill{i}" for i in range(80))
+    cols = ["repo", "path", "commit", "lang", "content"]
+    schema = "repo string, path string, commit string, lang string, content string"
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+
+    b1 = [("r1", "a.py", "c", "py", base),
+          ("r2", "b.py", "c", "py", base + " tiny change")]
+    b2 = [("r2", "b.py", "c", "py", base + " tiny change")]   # replay of b.py
+    for rows in (b1, b2):
+        spark.createDataFrame(pd.DataFrame(rows, columns=cols)).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_near_dup_candidates(stream, cfg)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    rows = spark.read.parquet(sink).collect()
+    pairs = [(r["band"], r["khash"], r["fid"], r["match_fid"]) for r in rows]
+    assert pairs, "the batch-1 near-dup must alert"
+    assert len(pairs) == len(set(pairs)), "replay re-emitted candidate pairs"
