@@ -107,6 +107,14 @@ def release_caches() -> None:
                 pass  # JVM may already be gone at interpreter exit
     _MAX_CLASS_CACHE.clear()
     _IVF_CENTROID_CACHE.clear()
+    try:
+        from libpostal_spark.operators.similarity import (
+            release_exact_broadcasts,
+        )
+
+        release_exact_broadcasts()
+    except Exception:
+        pass  # JVM may already be gone at interpreter exit
 
 
 import atexit  # noqa: E402
@@ -1983,9 +1991,9 @@ def _ann_ivf_sql() -> str:
         sig AS (SELECT vec_id, {assign} AS list_id FROM sc),
         cand AS (SELECT vec_id FROM sig WHERE list_id IN ({", ".join(map(str, probes))}))
         SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-               round(list_inner_product(e.embedding::DOUBLE[], q.e)
+               round(coalesce(list_inner_product(e.embedding::DOUBLE[], q.e)
                      / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                        * sqrt(list_inner_product(q.e, q.e))), 4) AS cos_sim
+                        * sqrt(list_inner_product(q.e, q.e))), 0), 4) AS cos_sim
         FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
@@ -2778,9 +2786,9 @@ def _ann_lsh_sql() -> str:
         qs AS (SELECT {q_keys} FROM q),
         cand AS (SELECT s.vec_id FROM sig s, qs WHERE {hits})
         SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-               round(list_inner_product(e.embedding::DOUBLE[], q.e)
+               round(coalesce(list_inner_product(e.embedding::DOUBLE[], q.e)
                      / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                        * sqrt(list_inner_product(q.e, q.e))), 4) AS cos_sim
+                        * sqrt(list_inner_product(q.e, q.e))), 0), 4) AS cos_sim
         FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10

@@ -56,12 +56,20 @@ def tokenize_flat(
 
 def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
     flat, lengths = tokenize_flat(canon, cfg.seed, cfg.hash_mode)
-    sh_vals, sh_off = H.shingle_sets(flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc)
+    # ONE prefix pass over the flat batch shared by every rolling-hash
+    # consumer (k-gram shingles, the short-row fallback, winnow windows) —
+    # previously computed up to 3x per batch in the hot featurize path
+    prefix = H._prefix_sums(flat) if len(flat) else None
+    sh_vals, sh_off = H.shingle_sets(
+        flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc, prefix=prefix
+    )
     sig = H.minhash_signatures(sh_vals, sh_off, cfg.num_perm, cfg.seed)
     bands = H.band_hashes(sig, cfg.bands, cfg.rows_per_band)
     simhash = H.simhash_values(sh_vals, sh_off)
     sim_keys = H.simhash_table_keys(simhash, cfg.simhash_tables, cfg.simhash_bits)
-    wn_vals, wn_off = H.winnow_fingerprints(flat, lengths, cfg.winnow_window, cfg.winnow_select)
+    wn_vals, wn_off = H.winnow_fingerprints(
+        flat, lengths, cfg.winnow_window, cfg.winnow_select, prefix=prefix
+    )
     n = len(lengths)
     shingles = [sh_vals[sh_off[i] : sh_off[i + 1]] for i in range(n)]
     winnow = [wn_vals[wn_off[i] : wn_off[i + 1]] for i in range(n)]

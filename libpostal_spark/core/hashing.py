@@ -32,9 +32,22 @@ _P = U64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 # modular inverse of _P mod 2^64 (Newton iteration; verified in tests)
 _Q = U64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
-_ERR = np.seterr(over="ignore")  # uint64 wraparound is the point
+def _wraps_uint64(fn):
+    """Scope numpy's overflow handling to THIS kernel: uint64 wraparound is
+    the point of every hash below, but a module-level np.seterr would
+    silence genuine overflow warnings process-wide for anyone importing the
+    package."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*a, **k):
+        with np.errstate(over="ignore"):
+            return fn(*a, **k)
+
+    return inner
 
 
+@_wraps_uint64
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant set)."""
     x = x.astype(U64, copy=True)
@@ -47,6 +60,7 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+@_wraps_uint64
 def hash_tokens_unique(
     uniques: np.ndarray, seed: int, mode: str = "blake2b"
 ) -> np.ndarray:
@@ -71,6 +85,7 @@ def hash_tokens_unique(
     return out
 
 
+@_wraps_uint64
 def _prefix_sums(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """S[i] = Σ_{j<i} flat[j]·Q^j and Ppow[i] = P^i, both mod 2^64."""
     m = len(flat)
@@ -88,17 +103,24 @@ def _prefix_sums(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return s, ppow
 
 
-def window_hashes(flat: np.ndarray, lengths: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+@_wraps_uint64
+def window_hashes(
+    flat: np.ndarray, lengths: np.ndarray, width: int, prefix=None
+) -> tuple[np.ndarray, np.ndarray]:
     """Rolling hash of every width-`width` window that fits inside one row.
 
     flat: concatenated token hashes for the batch; lengths: tokens per row.
     Returns (hashes, row_id) — one entry per valid window, finalized with
-    splitmix64. Rows shorter than `width` contribute nothing.
+    splitmix64. Rows shorter than `width` contribute nothing. Pass
+    ``prefix`` (a ``_prefix_sums(flat)`` result) to share the prefix pass
+    across window widths — the prefix arrays are width-independent, and the
+    featurize hot path needs three consumers (shingles, winnow, short-row
+    fallback) over the same flat batch.
     """
     m = len(flat)
     if m == 0 or width <= 0:
         return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
-    s, ppow = _prefix_sums(flat)
+    s, ppow = prefix if prefix is not None else _prefix_sums(flat)
     n_valid = m - width + 1
     if n_valid <= 0:
         return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
@@ -112,8 +134,10 @@ def window_hashes(flat: np.ndarray, lengths: np.ndarray, width: int) -> tuple[np
     return splitmix64(h[valid]), row_of[:n_valid][valid]
 
 
+@_wraps_uint64
 def shingle_sets(
-    flat: np.ndarray, lengths: np.ndarray, k: int, max_per_doc: int = 0
+    flat: np.ndarray, lengths: np.ndarray, k: int, max_per_doc: int = 0,
+    prefix=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct k-gram shingle hashes per row.
 
@@ -123,11 +147,13 @@ def shingle_sets(
     whole-string hash at /root/reference/src/near_dupe.c:408-411).
     """
     n_rows = len(lengths)
-    h, row_id = window_hashes(flat, lengths, k)
-    # whole-row fallback hash for short rows
+    if prefix is None and len(flat):
+        prefix = _prefix_sums(flat)
+    h, row_id = window_hashes(flat, lengths, k, prefix=prefix)
+    # whole-row fallback hash for short rows (reuses the same prefix pass)
     short = lengths < k
     if short.any():
-        s, ppow = _prefix_sums(flat)
+        s, ppow = prefix if prefix is not None else _prefix_sums(flat)
         starts = np.concatenate(([0], np.cumsum(lengths)))
         idx = np.nonzero(short)[0]
         if len(flat):
@@ -167,6 +193,7 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+@_wraps_uint64
 def minhash_signatures(
     values: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int
 ) -> np.ndarray:
@@ -190,6 +217,7 @@ def minhash_signatures(
     return sig
 
 
+@_wraps_uint64
 def simhash_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """64-bit SimHash per row over its shingle hashes (±1 bit votes, tie→0)."""
     s = values.view(U64)
@@ -236,6 +264,7 @@ def simhash_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out.view(np.int64)
 
 
+@_wraps_uint64
 def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     """(n_rows × bands) int64: one hash per LSH band of the signature.
 
@@ -254,6 +283,7 @@ def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     return splitmix64(h.ravel()).reshape(n_rows, bands).view(np.int64)
 
 
+@_wraps_uint64
 def simhash_table_keys(simhash: np.ndarray, tables: int, bits: int = 64) -> np.ndarray:
     """(n_rows × tables) int64 keys: simhash split into `tables` bit-chunks.
 
@@ -271,8 +301,10 @@ def simhash_table_keys(simhash: np.ndarray, tables: int, bits: int = 64) -> np.n
     return splitmix64(out.ravel()).reshape(len(s), tables).view(np.int64)
 
 
+@_wraps_uint64
 def winnow_fingerprints(
-    flat: np.ndarray, lengths: np.ndarray, window: int, select: int
+    flat: np.ndarray, lengths: np.ndarray, window: int, select: int,
+    prefix=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Winnowed substring fingerprints (MOSS scheme, Schleimer et al. 2003).
 
@@ -286,7 +318,7 @@ def winnow_fingerprints(
     sentinel-padded concatenation — O(m·log select), no per-row loop.
     """
     n_rows = len(lengths)
-    wh, row_id = window_hashes(flat, lengths, window)
+    wh, row_id = window_hashes(flat, lengths, window, prefix=prefix)
     empty_off = np.zeros(n_rows + 1, dtype=np.int64)
     if len(wh) == 0:
         return np.empty(0, dtype=np.int64), empty_off

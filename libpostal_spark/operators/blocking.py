@@ -41,8 +41,23 @@ def with_ids(files: DataFrame) -> DataFrame:
     sha256(content) is computed BEFORE any normalization and carried through
     every downstream table (per-row invariant, FIXTURES.md §1).
     """
+    # per-field coalesce: concat_ws SKIPS nulls, so without it the distinct
+    # rows (r, NULL, c) and (NULL, r, c) would concatenate identically and
+    # silently merge two files' signatures and labels. NULL and '' still
+    # conflate per field (documented), but field positions are preserved;
+    # \x00 inside a value cannot occur in filesystem paths/refs. fids for
+    # fully-non-null rows are unchanged.
     return files.withColumn(
-        "fid", F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256)
+        "fid",
+        F.sha2(
+            F.concat_ws(
+                "\x00",
+                F.coalesce("repo", F.lit("")),
+                F.coalesce("path", F.lit("")),
+                F.coalesce("commit", F.lit("")),
+            ),
+            256,
+        ),
     ).withColumn("sha256", F.sha2(F.col("content").cast("binary"), 256))
 
 

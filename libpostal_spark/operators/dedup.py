@@ -40,15 +40,20 @@ def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("group_sha")
         .agg(
             F.count("*").alias("dup_count"),
-            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            # cast BEFORE min: on a string-keyed table a lexicographic min
+            # would pick '10' over '9', violating the min-id-keeper contract
+            F.min(F.col("doc_id").cast("long")).alias("canonical_doc_id"),
         )
         .filter(F.col("dup_count") > 1)
     )
 
 
 def token_set(text: F.Column) -> F.Column:
-    """distinct lowercase word set (sorted for deterministic comparisons)."""
-    t = F.lower(F.trim(text))
+    """distinct lowercase word set (sorted for deterministic comparisons).
+    NULL text = empty set: without the coalesce a NULL propagates through
+    array_intersect/union, size() reads -1, and the both-empty jaccard
+    convention (1.0) fires for a pair that is nothing like identical."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
     arr = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -324,8 +329,10 @@ _ACR_MAX_TOKENS = 12
 
 
 def _acr_tokens_expr(text_col: str) -> str:
+    # coalesce: NULL text = zero tokens (a NULL array would propagate to
+    # size() = -1 in the match counts)
     return (
-        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f"slice(filter(split(lower(trim(coalesce({text_col}, ''))), '\\\\s+'),"
         f" t -> length(t) > 0), 1, {_ACR_MAX_TOKENS})"
     )
 
@@ -425,8 +432,9 @@ _MW_MAX_TOKENS = 16
 
 
 def _mw_tokens_expr(text_col: str) -> str:
+    # coalesce: NULL text = zero tokens (see _acr_tokens_expr)
     return (
-        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f"slice(filter(split(lower(trim(coalesce({text_col}, ''))), '\\\\s+'),"
         f" t -> length(t) > 0), 1, {_MW_MAX_TOKENS})"
     )
 
@@ -455,7 +463,16 @@ def multiword_alignment_expr(short_col: str, long_col: str) -> str:
     """
     tj = f"element_at({long_col}, j + 1)"
     started = "(CASE WHEN acc.start < 0 THEN j ELSE acc.start END)"
+    # explicit empty-long guard: sequence(0, -1) would yield the DESCENDING
+    # [0, -1] and the j = -1 step's element_at(col, 0) always throws — this
+    # fragment is documented standalone, so the guard must live here, not
+    # in whichever wrapper happens to short-circuit first (same hazard
+    # class as the acronym_pairs sequence bound)
     return f"""
+      CASE WHEN size({long_col}) = 0
+      THEN cast(array() as
+                array<struct<long_start:int, long_len:int, short_idx:int>>)
+      ELSE
       flatten(transform({short_col}, (st, si) ->
         transform(
           aggregate(
@@ -478,6 +495,7 @@ def multiword_alignment_expr(short_col: str, long_col: str) -> str:
             acc -> acc.outs),
           o -> named_struct('long_start', o.ls, 'long_len', o.ll,
                             'short_idx', si))))
+      END
     """
 
 

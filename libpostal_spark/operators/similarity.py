@@ -34,7 +34,12 @@ from pyspark.sql import types as T
 
 
 def _cos_expr(vec_col: str, qvec: list[float]) -> F.Column:
-    """cosine(embedding, q) as a sequential double fold (oracle-replicable)."""
+    """cosine(embedding, q) as a sequential double fold (oracle-replicable).
+
+    Zero-norm-safe like every other cosine path in this module: a zero
+    vector scores 0.0 — without the guard 0/0 = NaN, which Spark orders
+    ABOVE every real double, so a zero embedding would sit at rank 1 of
+    every top-k."""
     q = F.array(*[F.lit(float(x)).cast("double") for x in qvec])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -42,7 +47,9 @@ def _cos_expr(vec_col: str, qvec: list[float]) -> F.Column:
     )
     na = F.sqrt(F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
     nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
-    return dot / (na * F.lit(nq))
+    if nq == 0.0:
+        return F.lit(0.0)
+    return F.when(na > 0, dot / (na * F.lit(nq))).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -54,6 +61,26 @@ def brute_force_topk(
         F.round(_cos_expr("embedding", qvec), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+# broadcasts created by cosine_pairs' exact path, so a long session issuing
+# many calls can release executor/driver blocks once the returned frames are
+# consumed (each pair pins up to max_exact_bytes on every executor)
+_EXACT_BROADCASTS: list = []
+
+
+def release_exact_broadcasts() -> int:
+    """Unpersist every broadcast the exact cosine path has created. Call
+    only after the frames returned by those calls are fully consumed — a
+    still-unconsumed frame would recompute against a destroyed broadcast."""
+    n = len(_EXACT_BROADCASTS)
+    for b in _EXACT_BROADCASTS:
+        try:
+            b.unpersist(blocking=False)
+        except Exception:
+            pass   # session may already be gone
+    _EXACT_BROADCASTS.clear()
+    return n
 
 
 def cosine_pairs(
@@ -161,6 +188,7 @@ def cosine_pairs(
     mat /= np.where(norms == 0, 1.0, norms)   # zero vectors score cos 0
     sc = embeddings.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    _EXACT_BROADCASTS.extend((b_ids, b_mat))
 
     def score(batches):
         import pandas as pd
@@ -219,9 +247,14 @@ def cosine_pairs_bucketed(
     on the id. At 10^9 rows you persist ``ann_signatures`` bucketed by key
     and both joins co-locate."""
     if dim is None:
-        dim = len(
-            embeddings.select("embedding").first()["embedding"]
-        )
+        row = embeddings.select("embedding").first()
+        if row is None or row["embedding"] is None:
+            # empty (or null-first) frame: the exact path returns an empty
+            # pairs frame here too — match it instead of crashing on len()
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id1 long, vec_id2 long, cos_sim double"
+            )
+        dim = len(row["embedding"])
     emb = embeddings.select(
         F.col(id_col).cast("long").alias(id_col), "embedding"
     )

@@ -382,3 +382,78 @@ def test_embedding_clusters_transitive(spark):
     assert got[0][0] == got[1][0] == got[2][0] == 0
     assert got[0][1] is True and got[1][1] is False
     assert got[3] == (3, True)
+
+
+def test_brute_force_topk_zero_vector_not_ranked_first(spark):
+    """A zero embedding must score cos 0.0, not NaN (Spark orders NaN above
+    every real double, which would put it at rank 1 of every top-k)."""
+    from libpostal_spark.operators.similarity import brute_force_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert got[0]["vec_id"] == 0
+    by_id = {r["vec_id"]: r["cos_sim"] for r in got}
+    assert by_id[2] == 0.0
+    assert got[-1]["vec_id"] == 2          # zero vector ranks LAST
+
+
+def test_ngram_jaccard_null_text_not_perfect_dup(spark):
+    from libpostal_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(0, "alpha beta"), (1, None), (2, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id1"], r["doc_id2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df).collect()}
+    assert got[(0, 1)] == 0.0              # NULL = empty set, not jaccard 1
+    assert got[(1, 2)] == 0.0
+
+
+def test_acronym_multiword_null_text_zero_counts(spark):
+    from libpostal_spark.operators.dedup import acronym_pairs, multiword_pairs
+
+    rows = [(0, "fbi agency"), (1, None), (2, "sea world")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    acr = {r["doc_id1"]: r["n_acronyms"] for r in acronym_pairs(df).collect()}
+    mw = {r["doc_id1"]: r["n_alignments"]
+          for r in multiword_pairs(df).collect()}
+    assert all(v >= 0 for v in acr.values()), acr
+    assert all(v >= 0 for v in mw.values()), mw
+
+
+def test_multiword_fragment_empty_long_side(spark):
+    """The exported SQL fragment must not throw on an empty long side
+    (sequence(0,-1) would step through element_at(col, 0))."""
+    from pyspark.sql import functions as F
+
+    from libpostal_spark.operators.dedup import multiword_alignment_expr
+
+    df = spark.createDataFrame(
+        [(["seaworld"], [])], "s array<string>, l array<string>"
+    )
+    out = df.select(
+        F.expr(multiword_alignment_expr("s", "l")).alias("a")
+    ).collect()
+    assert out[0]["a"] == []
+
+
+def test_cosine_pairs_lsh_empty_frame(spark):
+    from libpostal_spark.operators.similarity import cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = cosine_pairs(empty, 0.5, method="lsh")
+    assert got.count() == 0
+    assert set(got.columns) == {"vec_id1", "vec_id2", "cos_sim"}
+
+
+def test_with_ids_null_fields_distinct(spark):
+    """concat_ws skips NULLs — per-field coalesce must keep (r,NULL,c) and
+    (NULL,r,c) as DIFFERENT fids."""
+    from libpostal_spark.operators import blocking
+
+    rows = [("r", None, "c", "py", "x"), (None, "r", "c", "py", "x")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    fids = [r["fid"] for r in blocking.with_ids(df).collect()]
+    assert fids[0] != fids[1]
