@@ -607,6 +607,10 @@ _NUMEX_PHRASES = [
     ("four score and seven years", "4 score and 7 years"),
     ("thirty thousandth time", "30000 time"),
     ("chapter xiv section iv", "chapter 14 section 4"),
+    # 'and' is swallowed ONLY when the next word extends the run
+    ("two and three apples", "2 and 3 apples"),
+    # ordinal unit after a closed multiplier composes like the cardinal
+    ("two thousand and first prize", "2001 prize"),
 ]
 
 
@@ -754,6 +758,7 @@ def _langid_trigram_sql() -> str:
         columns=["doc_id", "text", "lang"],
     ).to_pandas()
     tb = tb.sort_values("doc_id").head(fit_max_docs)
+    tb = tb[tb["lang"].notna()]          # NULL labels never enter the fit
     tb["t"] = tb["text"].str.lower()
     tb = tb[tb["t"].str.len() >= 3]
     totals = (
@@ -784,6 +789,7 @@ def _langid_trigram_sql() -> str:
                     FROM documents ORDER BY 1 LIMIT {fit_max_docs}),
         counts AS (SELECT lang, tri, count(*) AS cnt
                    FROM tris JOIN fit_ids USING (doc_id)
+                   WHERE lang IS NOT NULL
                    GROUP BY lang, tri),
         scored AS (SELECT tri, lang, cnt::HUGEINT * ({mult}) AS score
                    FROM counts),

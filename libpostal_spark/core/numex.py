@@ -79,6 +79,31 @@ def roman_value(tok: str) -> int | None:
     return total
 
 
+def _and_extends(nt: str, current: int, total: int) -> bool:
+    """Would the word after an 'and' legally EXTEND the current run?
+
+    The connective is swallowed only then — "one hundred and two" → 102 —
+    while "two and three" keeps its 'and' (the 'three' starts a NEW number,
+    so deleting the connective would make "two and three" canonicalize
+    identically to "two three", a false merge)."""
+    if nt in UNITS:
+        v = UNITS[nt]
+        if v == 0:
+            return False                   # zero never extends
+        if current == 0:
+            return True                    # fresh group after a multiplier
+        return current % 10 == 0 if v < 10 else current % 100 == 0
+    if nt in ORDINAL_UNITS:
+        v = ORDINAL_UNITS[nt]
+        if current == 0:
+            return True
+        return current % 10 == 0 if v < 10 else current % 100 == 0
+    if nt in TENS or nt in ORDINAL_TENS:
+        return current % 100 == 0
+    # multipliers close the open group, always legal mid-run
+    return nt in MULTIPLIERS or nt in ORDINAL_MULTS
+
+
 def fold_spelled_numbers(tokens: list[str], fold_roman: bool = False) -> list[str]:
     """Left-to-right numex composition over a token stream.
 
@@ -150,9 +175,12 @@ def fold_spelled_numbers(tokens: list[str], fold_roman: bool = False) -> list[st
                     current = 0
             elif t in ORDINAL_UNITS:
                 v = ORDINAL_UNITS[t]
-                if not (current == 0 and total == 0) and not (
-                    current != 0
-                    and (current % 10 == 0 if v < 10 else current % 100 == 0)
+                # same legality as cardinal units: current == 0 covers both
+                # the run start AND a fresh group after a closed multiplier
+                # ("two thousand first" = 2001st, exactly like "two thousand
+                # one"); otherwise the divisibility rule
+                if current != 0 and not (
+                    current % 10 == 0 if v < 10 else current % 100 == 0
                 ):
                     break
                 current += v
@@ -170,12 +198,8 @@ def fold_spelled_numbers(tokens: list[str], fold_roman: bool = False) -> list[st
                     total += max(current, 1) * v
                     current = 0
                 terminal = True
-            elif t == "and" and i + 1 < n and (
-                tokens[i + 1] in UNITS or tokens[i + 1] in TENS
-                or tokens[i + 1] in MULTIPLIERS
-                or tokens[i + 1] in ORDINAL_UNITS
-                or tokens[i + 1] in ORDINAL_TENS
-                or tokens[i + 1] in ORDINAL_MULTS
+            elif t == "and" and i + 1 < n and _and_extends(
+                tokens[i + 1], current, total
             ):
                 pass                                   # swallow connective
             else:

@@ -56,11 +56,25 @@ def _compact_alphabet(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndar
     return am, bm, len(uniq)
 
 
-def levenshtein_batch(s1: pd.Series, s2: pd.Series, max_len: int = 32) -> np.ndarray:
-    """Classic edit distance per pair, batch-vectorized (full dp matrix —
-    per-pair answers are read at (la, lb), see the in-body note)."""
+
+def encode_pair(
+    s1: pd.Series, s2: pd.Series, max_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode a pair of series once for several kernels: callers scoring the
+    same (s1, s2) with jw + dl + abbreviation (the Soft-TFIDF ladder) pass
+    the result via ``codes=`` and skip two of the three per-row encode
+    loops — the only per-row Python in the pair-scoring hot path."""
     a, la = _codes(s1, max_len, _SENT_A)
     b, lb = _codes(s2, max_len, _SENT_B)
+    return a, la, b, lb
+
+
+def levenshtein_batch(s1: pd.Series, s2: pd.Series, max_len: int = 32, codes=None) -> np.ndarray:
+    """Classic edit distance per pair, batch-vectorized (full dp matrix —
+    per-pair answers are read at (la, lb), see the in-body note)."""
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     B, m, n = len(la), a.shape[1], b.shape[1]
     if B == 0:
         return np.zeros(0, dtype=np.int64)
@@ -82,14 +96,15 @@ def levenshtein_batch(s1: pd.Series, s2: pd.Series, max_len: int = 32) -> np.nda
 
 
 def damerau_levenshtein_batch(
-    s1: pd.Series, s2: pd.Series, max_len: int = 32
+    s1: pd.Series, s2: pd.Series, max_len: int = 32, codes=None
 ) -> np.ndarray:
     """UNRESTRICTED Damerau-Levenshtein (Lowrance–Wagner) per pair,
     batch-vectorized. The `da` last-occurrence table is a (B, alphabet)
     matrix over the batch's compact alphabet; the transposition gather
     d[k, l] is one fancy-index per cell across the batch."""
-    a, la = _codes(s1, max_len, _SENT_A)
-    b, lb = _codes(s2, max_len, _SENT_B)
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     B, m, n = len(la), a.shape[1], b.shape[1]
     if B == 0:
         return np.zeros(0, dtype=np.int64)
@@ -126,6 +141,7 @@ def damerau_levenshtein_batch(
 def affine_gap_batch(
     s1: pd.Series, s2: pd.Series, max_len: int = 32,
     mismatch: int = 2, gap_open: int = 2, gap_extend: int = 1,
+    codes=None,
 ) -> np.ndarray:
     """Affine-gap alignment DISTANCE (Gotoh) per pair, batch-vectorized.
 
@@ -142,8 +158,9 @@ def affine_gap_batch(
     rolling rows; the combined matrix is kept in full so per-row answers
     read at each pair's true lengths.
     """
-    a, la = _codes(s1, max_len, _SENT_A)
-    b, lb = _codes(s2, max_len, _SENT_B)
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     B, m, n = len(la), a.shape[1], b.shape[1]
     if B == 0:
         return np.zeros(0, dtype=np.int64)
@@ -168,7 +185,6 @@ def affine_gap_batch(
             np.minimum(Mp[:, 1:], Xp[:, 1:]) + gap_open + gap_extend,
             Yp[:, 1:] + gap_extend,
         )
-        Yc[:, 0] = gaps[i]
         cost = (a[:, i - 1][:, None] != b).astype(np.int32) * mismatch
         for j in range(1, n + 1):
             Mc[:, j] = best_p[:, j - 1] + cost[:, j - 1]
@@ -177,7 +193,6 @@ def affine_gap_batch(
                 Xc[:, j - 1] + gap_extend,
             )
             D[:, i, j] = np.minimum(np.minimum(Mc[:, j], Xc[:, j]), Yc[:, j])
-        Xc[:, 0] = INF
         Mp, Xp, Yp = Mc, Xc, Yc
     return D[rows, la, lb].astype(np.int64)
 
@@ -197,20 +212,21 @@ def _subseq_first(a, la, b, lb) -> np.ndarray:
 
 
 def is_abbreviation_batch(
-    s1: pd.Series, s2: pd.Series, max_len: int = 32
+    s1: pd.Series, s2: pd.Series, max_len: int = 32, codes=None
 ) -> np.ndarray:
     """Abbreviation-candidate check per pair: s1 (len ≥ 2, strictly shorter)
     shares s2's first character and is a subsequence of s2 — the
     deterministic core of the reference's possible-abbreviation rung
     ("intl" → "international"). Vectorized pointer advance over s2's
     columns."""
-    a, la = _codes(s1, max_len, _SENT_A)
-    b, lb = _codes(s2, max_len, _SENT_B)
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     return _subseq_first(a, la, b, lb) & (la >= 2)
 
 
 def abbrev_flags_batch(
-    s1: pd.Series, s2: pd.Series, max_len: int = 32
+    s1: pd.Series, s2: pd.Series, max_len: int = 32, codes=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric (abbreviation, strict) flags per pair for the Soft-TFIDF
     full match ladder.
@@ -231,8 +247,9 @@ def abbrev_flags_batch(
     Returns (abrv, strict) bool arrays; strict is only meaningful where
     abrv holds (exactly how the ladder consults it).
     """
-    a, la = _codes(s1, max_len, _SENT_A)
-    b, lb = _codes(s2, max_len, _SENT_B)
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     B = len(la)
     if B == 0:
         z = np.zeros(0, dtype=bool)
@@ -255,13 +272,15 @@ def abbrev_flags_batch(
 def jaro_winkler_batch(
     s1: pd.Series, s2: pd.Series, max_len: int = 32,
     prefix_scale: float = 0.1, boost_threshold: float = 0.7,
+    codes=None,
 ) -> np.ndarray:
     """Jaro-Winkler similarity per pair, batch-vectorized: the greedy
     leftmost match scan runs as m argmax passes over a masked (B, n)
     window, transposition counting compacts each side's matches with one
     stable argsort gather."""
-    a, la = _codes(s1, max_len, _SENT_A)
-    b, lb = _codes(s2, max_len, _SENT_B)
+    a, la, b, lb = (
+        codes if codes is not None else encode_pair(s1, s2, max_len)
+    )
     B, m, n = len(la), a.shape[1], b.shape[1]
     if B == 0:
         return np.zeros(0, dtype=np.float64)

@@ -100,7 +100,9 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """argmax over marker-word counts; ties and zero-evidence → 'und'."""
+    """argmax over marker-word counts; zero evidence → 'und', ties resolve
+    to the FIRST language in LANG_MARKERS dict order (the strictly-greater
+    fold below — the SQL twin replays the same rule)."""
     counts = {
         lang: sum([_word_occurrences(text, w) for w in words][1:],
                   _word_occurrences(text, words[0]))
@@ -176,6 +178,11 @@ def lang_id_trigram(
         F.col(lang_col).alias("lang_label"),
         F.lower(F.col(text_col)).alias("t"),
     ).filter(F.length("t") >= 3)
+    # a NULL label must never enter the fit: it would become a None key in
+    # the totals (and a None-vs-str tie-break TypeError on the driver) or a
+    # silent NULL "language" in the broadcast model. The twin applies the
+    # same filter.
+    fit_input = lowered.filter(F.col("lang_label").isNotNull())
 
     def _explode_tris(frame):
         return frame.withColumn(
@@ -194,7 +201,7 @@ def lang_id_trigram(
     # matter how large the corpus is.
     sample_ids = docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
     counts = (
-        _explode_tris(lowered.join(F.broadcast(sample_ids), id_col))
+        _explode_tris(fit_input.join(F.broadcast(sample_ids), id_col))
         .groupBy("lang_label", "tri")
         .agg(F.count("*").alias("cnt"))
         .collect()

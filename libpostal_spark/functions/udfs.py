@@ -182,11 +182,12 @@ def make_strsim_udf(max_len: int = 32):
         it: Iterator[tuple[pd.Series, pd.Series]]
     ) -> Iterator[pd.DataFrame]:
         for s1, s2 in it:
+            codes = strsim.encode_pair(s1, s2, max_len)
             yield pd.DataFrame(
                 {
-                    "lev": strsim.levenshtein_batch(s1, s2, max_len),
-                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len),
-                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len),
+                    "lev": strsim.levenshtein_batch(s1, s2, max_len, codes=codes),
+                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len, codes=codes),
+                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len, codes=codes),
                 }
             )
 
@@ -215,11 +216,14 @@ def make_ladder_udf(max_len: int = 32):
         it: Iterator[tuple[pd.Series, pd.Series]]
     ) -> Iterator[pd.DataFrame]:
         for s1, s2 in it:
-            abrv, strict = strsim.abbrev_flags_batch(s1, s2, max_len)
+            codes = strsim.encode_pair(s1, s2, max_len)
+            abrv, strict = strsim.abbrev_flags_batch(
+                s1, s2, max_len, codes=codes
+            )
             yield pd.DataFrame(
                 {
-                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len),
-                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len),
+                    "jw": strsim.jaro_winkler_batch(s1, s2, max_len, codes=codes),
+                    "dl": strsim.damerau_levenshtein_batch(s1, s2, max_len, codes=codes),
                     "abrv": abrv,
                     "strict": strict,
                 }

@@ -180,6 +180,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def block_mean_2d(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-average resize of a 2-D float array to (out_h, out_w) —
     the real `resize` kernel (no interpolation libraries needed)."""
+    # image smaller than the grid: integer boundaries would repeat ->
+    # zero-area blocks -> NaN features. Nearest-neighbor repeat up to grid
+    # size first (exact for the area mean; no-op for normal-sized images).
+    h, w = img.shape
+    if h < out_h:
+        img = np.repeat(img, -(-out_h // h), axis=0)
+    if w < out_w:
+        img = np.repeat(img, -(-out_w // w), axis=1)
     h, w = img.shape
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w

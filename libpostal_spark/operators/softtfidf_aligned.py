@@ -382,9 +382,10 @@ def _scalar_sim_factory(t1: list, t2: list, max_len: int = 32):
             aa.append(a)
             bb.append(b)
     s1, s2 = pd.Series(aa, dtype=object), pd.Series(bb, dtype=object)
-    jw = strsim.jaro_winkler_batch(s1, s2, max_len)
-    dl = strsim.damerau_levenshtein_batch(s1, s2, max_len)
-    ab, st = strsim.abbrev_flags_batch(s1, s2, max_len)
+    codes = strsim.encode_pair(s1, s2, max_len)
+    jw = strsim.jaro_winkler_batch(s1, s2, max_len, codes=codes)
+    dl = strsim.damerau_levenshtein_batch(s1, s2, max_len, codes=codes)
+    ab, st = strsim.abbrev_flags_batch(s1, s2, max_len, codes=codes)
 
     def sim_of(i, j, _swapped=False):
         k = i * n2 + j
@@ -444,9 +445,10 @@ def _make_scorer_udf(
             if flat_a:
                 s1 = pd.Series(flat_a, dtype=object)
                 s2 = pd.Series(flat_b, dtype=object)
-                jw = strsim.jaro_winkler_batch(s1, s2, max_len)
-                dl = strsim.damerau_levenshtein_batch(s1, s2, max_len)
-                ab, stc = strsim.abbrev_flags_batch(s1, s2, max_len)
+                codes = strsim.encode_pair(s1, s2, max_len)
+                jw = strsim.jaro_winkler_batch(s1, s2, max_len, codes=codes)
+                dl = strsim.damerau_levenshtein_batch(s1, s2, max_len, codes=codes)
+                ab, stc = strsim.abbrev_flags_batch(s1, s2, max_len, codes=codes)
             sims = np.zeros(rows, dtype=np.float64)
             nm = np.zeros(rows, dtype=np.int64)
             for r in range(rows):

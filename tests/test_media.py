@@ -200,3 +200,21 @@ def test_corrupt_payload_falls_back_not_crashes(spark):
     }
     assert got[0]["decoded"] == "fake:image"
     assert got[1]["decoded"] == "png"
+
+
+def test_block_mean_tiny_image_no_nan():
+    """Images smaller than the output grid must produce finite features
+    (zero-area blocks previously divided 0/0 into NaN)."""
+    img = np.array([[10.0, 20.0], [30.0, 40.0]])
+    out = M.block_mean_2d(img, 4, 4)
+    assert out.shape == (4, 4)
+    assert np.isfinite(out).all()
+    # nearest-neighbor repeat: corners keep the source values
+    assert out[0, 0] == 10.0 and out[3, 3] == 40.0
+    # one-pixel image
+    one = M.block_mean_2d(np.array([[7.0]]), 4, 4)
+    assert np.isfinite(one).all() and (one == 7.0).all()
+    # normal-size path unchanged: exact block means
+    big = np.arange(16, dtype=np.float64).reshape(4, 4)
+    same = M.block_mean_2d(big, 2, 2)
+    assert np.allclose(same, [[2.5, 4.5], [10.5, 12.5]])

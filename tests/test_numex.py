@@ -29,6 +29,14 @@ from libpostal_spark.core.numex import (
         (["two", "hundredth"], ["200"]),
         (["zero"], ["0"]),
         (["nineteen", "eighty", "four"], ["19", "84"]),  # teens close before tens
+        # 'and' swallowed ONLY when the next word EXTENDS the run — "two and
+        # three" must not canonicalize identically to "two three"
+        (["two", "and", "three"], ["2", "and", "3"]),
+        (["two", "and", "zero"], ["2", "and", "0"]),
+        (["two", "thousand", "and", "five"], ["2005"]),
+        # ordinal unit after a closed multiplier composes like the cardinal
+        (["two", "thousand", "first"], ["2001"]),
+        (["two", "thousand", "and", "first"], ["2001"]),
     ],
 )
 def test_spelled_composition(toks, want):

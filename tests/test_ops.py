@@ -457,3 +457,21 @@ def test_with_ids_null_fields_distinct(spark):
     )
     fids = [r["fid"] for r in blocking.with_ids(df).collect()]
     assert fids[0] != fids[1]
+
+
+def test_lang_id_trigram_null_label_excluded(spark):
+    """A NULL lang label must not enter the trigram fit (it previously
+    became a None totals key / a NULL model language)."""
+    from libpostal_spark.functions.textstats import lang_id_trigram
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "der schnelle braune fuchs springt darueber", "de"),
+        (2, "some unlabeled text that looks quite english", None),
+        (3, "the dog sleeps under the warm table there", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in lang_id_trigram(df).collect()}
+    assert set(got.values()) <= {"en", "de", "und"}   # never NULL
+    assert got[0] == "en"
