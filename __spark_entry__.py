@@ -47,23 +47,28 @@ _SIG_CACHE: dict = {}
 _CACHE_LIMIT = 2
 
 
-def _cache_put(cache: dict, key: tuple, value, release=None) -> None:
+def _cache_put(
+    cache: dict, key: tuple, value, release=None, on_evict=None
+) -> None:
+    """Insert with dead-session sweep + bounded same-session LRU eviction.
+
+    ``on_evict(key)`` (if given) runs for EVERY key this call removes —
+    both dead-session sweeps and LRU evictions — so a cache with a
+    side table keyed the same way (e.g. _SIG_CACHE's gating values in
+    _MAX_CLASS_CACHE) keeps it in sync without this generic helper
+    hard-coding any caller's tables."""
     app = key[0]
     for k in [k for k in cache if k[0] != app]:
         cache.pop(k, None)
-        # the gating-value side table is keyed like _SIG_CACHE; clean its
-        # dead-session entries alongside, but ONLY when sweeping the cache
-        # it belongs to — a sibling cache (ANN/sha/pairs) evicting the same
-        # (app, sf_dir) key must not strand _SIG_CACHE without its gate
-        if cache is _SIG_CACHE:
-            _MAX_CLASS_CACHE.pop(k, None)
+        if on_evict is not None:
+            on_evict(k)
     cache[key] = value
     keys = [k for k in cache if k[0] == app]
     while len(keys) > _CACHE_LIMIT:
         old = keys.pop(0)
         v = cache.pop(old)
-        if cache is _SIG_CACHE:
-            _MAX_CLASS_CACHE.pop(old, None)
+        if on_evict is not None:
+            on_evict(old)
         try:
             if release is not None:
                 release(v)
@@ -139,7 +144,12 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         _MAX_CLASS_CACHE[key] = int(row[0]["m"] or 0)
-        _cache_put(_SIG_CACHE, key, sigs)
+        # the gate side table is keyed like _SIG_CACHE: evicting a
+        # signatures entry (dead session OR LRU) drops its gate with it
+        _cache_put(
+            _SIG_CACHE, key, sigs,
+            on_evict=lambda k: _MAX_CLASS_CACHE.pop(k, None),
+        )
     return _SIG_CACHE[key]
 
 
@@ -236,14 +246,7 @@ def _translit_sql() -> str:
     against the suffix alphabet — a fold-table or NFD-strip bug in the
     Spark path breaks the hash."""
     n = len(_TRANSLIT_SUFFIXES)
-    suffix = (
-        f"CASE CAST(doc_id AS BIGINT) % {n} "
-        + " ".join(
-            f"WHEN {i} THEN {_sql_quote(s)}"
-            for i, s in enumerate(_TRANSLIT_SUFFIXES)
-        )
-        + " END"
-    )
+    suffix = _case_by_doc_id([_sql_quote(x) for x in _TRANSLIT_SUFFIXES], n)
     composed = f"(text || ' ' || {suffix})"
     folded = composed
     for a, b in _TRANSLIT_MULTI:
@@ -289,14 +292,8 @@ def _gaz_decorated(spark, sf_dir):
 
 
 def _gaz_composed_sql() -> str:
-    n = len(_GAZ_SUFFIXES)
-    suffix = (
-        f"CASE CAST(doc_id AS BIGINT) % {n} "
-        + " ".join(
-            f"WHEN {i} THEN {_sql_quote(s)}"
-            for i, s in enumerate(_GAZ_SUFFIXES)
-        )
-        + " END"
+    suffix = _case_by_doc_id(
+        [_sql_quote(x) for x in _GAZ_SUFFIXES], len(_GAZ_SUFFIXES)
     )
     return f"(text || ' ' || {suffix})"
 
@@ -449,13 +446,8 @@ def _multilang_sql() -> str:
     langs = sorted(_ML_SUFFIXES)
 
     def suffix_case(lv: str) -> str:
-        return (
-            "CASE CAST(doc_id AS BIGINT) % 4 "
-            + " ".join(
-                f"WHEN {i} THEN {_sql_quote(s)}"
-                for i, s in enumerate(_ML_SUFFIXES[lv])
-            )
-            + " END"
+        return _case_by_doc_id(
+            [_sql_quote(x) for x in _ML_SUFFIXES[lv]], len(_ML_SUFFIXES[lv])
         )
 
     def chain(lv) -> str:
@@ -545,14 +537,8 @@ def _langid_routed_sql() -> str:
         entries_for_language,
     )
 
-    n = len(_LR_SUFFIXES)
-    suffix = (
-        f"CASE CAST(doc_id AS BIGINT) % {n} "
-        + " ".join(
-            f"WHEN {i} THEN {_sql_quote(s)}"
-            for i, s in enumerate(_LR_SUFFIXES)
-        )
-        + " END"
+    suffix = _case_by_doc_id(
+        [_sql_quote(x) for x in _LR_SUFFIXES], len(_LR_SUFFIXES)
     )
 
     def chain(lv) -> str:
@@ -630,13 +616,8 @@ def _q_numex_fold(spark, sf_dir):
 
 def _numex_sql() -> str:
     n = len(_NUMEX_PHRASES)
-    case = (
-        f"CASE CAST(doc_id AS BIGINT) % {n} "
-        + " ".join(
-            f"WHEN {i} THEN {_sql_quote(out)}"
-            for i, (_, out) in enumerate(_NUMEX_PHRASES)
-        )
-        + " END"
+    case = _case_by_doc_id(
+        [_sql_quote(out) for _, out in _NUMEX_PHRASES], n
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id, {case} AS folded
@@ -875,14 +856,10 @@ def _q_acronym_pairs(spark, sf_dir):
 
 
 def _acr_prefix_sql() -> str:
-    n = len(_ACR_PREFIXES)
-    return (
-        f"CASE CAST(doc_id AS BIGINT) % {n} "
-        + " ".join(
-            f"WHEN {i} THEN {_sql_quote(p)}" for i, p in enumerate(_ACR_PREFIXES)
-        )
-        + " END || ' ' || text"
+    case = _case_by_doc_id(
+        [_sql_quote(p) for p in _ACR_PREFIXES], len(_ACR_PREFIXES)
     )
+    return f"{case} || ' ' || text"
 
 
 def _acronym_sql() -> str:
@@ -1340,6 +1317,25 @@ _FUZZY_FIXTURES = [
 ]
 
 
+
+def _soft_scaffold_sql(src: str) -> str:
+    """The Soft-TFIDF weighting scaffold every twin shares — capped
+    sorted-distinct token sets, floor(1e6/df) weights, integer weight
+    norms — mirroring softtfidf._capped_token_sets/_weighted_cand. ONE
+    definition so a cap or weight-rule change can never reach some twins
+    and not others. ``src`` supplies (doc_id BIGINT, text)."""
+    return f"""toks AS (SELECT doc_id,
+                unnest(list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0)))[1:10]) AS token
+         FROM {src}),
+wtab AS (SELECT token,
+                CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
+         FROM toks GROUP BY token),
+wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id)"""
+
+
 def _q_fuzzy_dup_status(spark, sf_dir):
     """is_fuzzy_duplicate parity (operators/softtfidf.fuzzy_dup_status_pairs;
     reference src/dedupe.c:340-513): Soft-TFIDF + subset rule +
@@ -1352,16 +1348,11 @@ def _q_fuzzy_dup_status(spark, sf_dir):
         docs2, prs, subset_status="likely_duplicate"
     )
     # name mode = thresholds only (subset no-op) — derivable from the same
-    # row's soft_e4 + single-letter flag, so one computation serves both
-    name_status = (
-        F.when(
-            F.col("soft_e4") >= 9000,
-            F.when(
-                F.col("single_letter_mismatch"), F.lit("needs_review")
-            ).otherwise(F.lit("likely_duplicate")),
-        )
-        .when(F.col("soft_e4") >= 7000, F.lit("needs_review"))
-        .otherwise(F.lit("non_duplicate"))
+    # row's soft_e4 + single-letter flag via the operator module's OWN
+    # lattice, so the thresholds/demotion rule can never drift from it
+    name_status = softtfidf.fuzzy_lattice_status(
+        F.col("soft_e4"), F.lit(False), F.col("single_letter_mismatch"),
+        "non_duplicate",
     )
     return street.select(
         F.expr("doc_id1 div 2").alias("doc_id"),
@@ -1402,16 +1393,7 @@ docs2 AS (SELECT 2 * doc_id AS doc_id, s1 AS text FROM base
           UNION ALL
           SELECT 2 * doc_id + 1 AS doc_id, s2 AS text FROM base),
 prs AS (SELECT 2 * doc_id AS doc_id1, 2 * doc_id + 1 AS doc_id2 FROM base),
-toks AS (SELECT doc_id,
-                unnest(list_sort(list_distinct(list_filter(
-                         string_split_regex(lower(trim(text)), '\\s+'),
-                         t -> length(t) > 0)))[1:10]) AS token
-         FROM docs2),
-wtab AS (SELECT token,
-                CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
-         FROM toks GROUP BY token),
-wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
-norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+{_soft_scaffold_sql('docs2')},
 cand AS (SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
                 b.token AS tok_b, b.w AS w_b,
                 CAST(floor(jaro_winkler_similarity(substr(a.token, 1, 16),
@@ -1558,16 +1540,7 @@ docs2 AS (SELECT 2 * doc_id AS doc_id, s1 AS text FROM base
           UNION ALL
           SELECT 2 * doc_id + 1 AS doc_id, s2 AS text FROM base),
 prs AS (SELECT 2 * doc_id AS doc_id1, 2 * doc_id + 1 AS doc_id2 FROM base),
-toks AS (SELECT doc_id,
-                unnest(list_sort(list_distinct(list_filter(
-                         string_split_regex(lower(trim(text)), '\\s+'),
-                         t -> length(t) > 0)))[1:10]) AS token
-         FROM docs2),
-wtab AS (SELECT token,
-                CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
-         FROM toks GROUP BY token),
-wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
-norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+{_soft_scaffold_sql('docs2')},
 flags AS (SELECT p.doc_id1, p.doc_id2, a.token AS tok_a, a.w AS w_a,
                  b.token AS tok_b, b.w AS w_b,
    CAST(floor(jaro_winkler_similarity(substr(a.token, 1, 16),
@@ -1779,22 +1752,13 @@ def _aligned_sql() -> str:
     """
 
 
-_SOFT_TFIDF_SQL = """
+_SOFT_TFIDF_SQL = f"""
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
     prs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
             FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1),
-    toks AS (
-      SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             unnest(list_sort(list_distinct(list_filter(
-                      string_split_regex(lower(trim(text)), '\\s+'),
-                      t -> length(t) > 0)))[1:10]) AS token
-      FROM documents
-    ),
-    wtab AS (SELECT token,
-                    CAST(floor(1000000 / count(DISTINCT doc_id)) AS BIGINT) AS w
-             FROM toks GROUP BY token),
-    wt AS (SELECT t.doc_id, t.token, w.w FROM toks t JOIN wtab w USING (token)),
-    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+    {_soft_scaffold_sql(
+        "(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents) dsrc"
+    )},
     cand AS (
       -- similarity runs on the 16-char token prefixes, mirroring the
       -- Spark kernel's jw_max_len=16 truncation exactly (df/weights stay
@@ -1823,38 +1787,29 @@ _SOFT_TFIDF_SQL = """
     agg AS (SELECT doc_id1, doc_id2,
                    CAST(count(*) AS BIGINT) AS n_matched,
                    sum(w_a * w_b * jw_e4) AS score_int
-            FROM best GROUP BY doc_id1, doc_id2)
-    SELECT p.doc_id1, p.doc_id2,
-           coalesce(g.n_matched, 0) AS n_matched,
-           CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
-                     AND g.score_int IS NOT NULL
-                THEN CAST(floor(CAST(g.score_int AS DOUBLE)
-                           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
-                     AS BIGINT)
-                ELSE 0 END AS soft_e4,
-           (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
-                      AND g.score_int IS NOT NULL
-                 THEN CAST(floor(CAST(g.score_int AS DOUBLE)
-                            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
-                      AS BIGINT)
-                 ELSE 0 END) / 10000.0 AS soft_tfidf,
-           CASE WHEN (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
-                                AND g.score_int IS NOT NULL
-                           THEN CAST(floor(CAST(g.score_int AS DOUBLE)
-                                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
-                                AS BIGINT) ELSE 0 END) >= 9000
-                THEN 'likely_duplicate'
-                WHEN (CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
-                                AND g.score_int IS NOT NULL
-                           THEN CAST(floor(CAST(g.score_int AS DOUBLE)
-                                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
-                                AS BIGINT) ELSE 0 END) >= 7000
-                THEN 'needs_review'
+            FROM best GROUP BY doc_id1, doc_id2),
+    fin AS (
+      -- soft_e4 computed ONCE; every downstream expression reads the column
+      SELECT p.doc_id1, p.doc_id2,
+             coalesce(g.n_matched, 0) AS n_matched,
+             CASE WHEN coalesce(na.n2, 0) > 0 AND coalesce(nb.n2, 0) > 0
+                       AND g.score_int IS NOT NULL
+                  THEN CAST(floor(CAST(g.score_int AS DOUBLE)
+                             / (sqrt(CAST(na.n2 AS DOUBLE))
+                                * sqrt(CAST(nb.n2 AS DOUBLE))))
+                       AS BIGINT)
+                  ELSE 0 END AS soft_e4
+      FROM prs p
+      LEFT JOIN agg g USING (doc_id1, doc_id2)
+      LEFT JOIN norms na ON na.doc_id = p.doc_id1
+      LEFT JOIN norms nb ON nb.doc_id = p.doc_id2
+    )
+    SELECT doc_id1, doc_id2, n_matched, soft_e4,
+           soft_e4 / 10000.0 AS soft_tfidf,
+           CASE WHEN soft_e4 >= 9000 THEN 'likely_duplicate'
+                WHEN soft_e4 >= 7000 THEN 'needs_review'
                 ELSE 'non_duplicate' END AS status
-    FROM prs p
-    LEFT JOIN agg g USING (doc_id1, doc_id2)
-    LEFT JOIN norms na ON na.doc_id = p.doc_id1
-    LEFT JOIN norms nb ON nb.doc_id = p.doc_id2
+    FROM fin
 """
 
 

@@ -76,10 +76,13 @@ def _weighted_cand(
     text_col: str,
     id_col: str,
     max_tokens: int,
+    toks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared scaffolding for the Soft-TFIDF operators: default
     adjacent-id pairs, the exploded per-pair token-candidate product with
-    tf-idf weights on both sides, and the per-doc integer weight norms."""
+    tf-idf weights on both sides, and the per-doc integer weight norms.
+    Pass ``toks`` (a ``_capped_token_sets`` frame for the same docs/params)
+    to share one tokenization across composed operators."""
     ids = docs.select(F.col(id_col).cast("long").alias(id_col))
     if pairs is None:
         a = ids.select(F.col(id_col).alias("doc_id1"))
@@ -87,10 +90,11 @@ def _weighted_cand(
                        F.col(id_col).alias("doc_id2"))
         pairs = a.join(b, "doc_id1").select("doc_id1", "doc_id2")
 
-    toks = _capped_token_sets(
-        docs.withColumn(id_col, F.col(id_col).cast("long")),
-        text_col, id_col, max_tokens,
-    )
+    if toks is None:
+        toks = _capped_token_sets(
+            docs.withColumn(id_col, F.col(id_col).cast("long")),
+            text_col, id_col, max_tokens,
+        )
     # df over the capped universe; weights are a SMALL table (distinct
     # tokens) — broadcast into every consumer
     wtab = (
@@ -437,13 +441,16 @@ def fuzzy_dup_status_pairs(
     ``single_letter_mismatch``, and ``fuzzy_status`` to the
     soft_tfidf_pairs columns.
     """
-    base = soft_tfidf_pairs(
-        docs, pairs, text_col=text_col, id_col=id_col,
-        max_tokens=max_tokens, jw_max_len=jw_max_len,
-    )
+    # ONE tokenization serves the scorer (via _weighted_cand) AND the
+    # lattice's token counts / single-letter sets below — both the plan
+    # cost and the drift hazard of two call sites disappear
     toks = _capped_token_sets(
         docs.withColumn(id_col, F.col(id_col).cast("long")),
         text_col, id_col, max_tokens,
+    )
+    base = soft_tfidf_pairs(
+        docs, pairs, text_col=text_col, id_col=id_col,
+        max_tokens=max_tokens, jw_max_len=jw_max_len, _toks=toks,
     )
     ntok = toks.groupBy(id_col).agg(F.count("*").alias("nt"))
     letters = (
@@ -505,6 +512,7 @@ def soft_tfidf_pairs(
     id_col: str = "doc_id",
     max_tokens: int = 10,
     jw_max_len: int = 16,
+    _toks: DataFrame | None = None,
 ) -> DataFrame:
     """Soft-TFIDF score per candidate pair.
 
@@ -520,7 +528,7 @@ def soft_tfidf_pairs(
     from ..functions.udfs import make_strsim_udf
 
     pairs, cand, norms = _weighted_cand(
-        docs, pairs, text_col, id_col, max_tokens
+        docs, pairs, text_col, id_col, max_tokens, toks=_toks
     )
 
     # the reference's match ladder (soft_tfidf.c:240-465): exact/JW ≥ 0.9,

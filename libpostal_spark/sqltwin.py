@@ -267,10 +267,18 @@ def candidate_pairs_sql(canon_expr: str, cfg) -> str:
     adversarial pytest + the cluster oracles.
     """
     ctes, band_final = _feature_ctes(canon_expr, cfg)
-    t_rows = ", ".join(
-        f"({t}, {1 << (16 * t)}::HUGEINT)" for t in range(cfg.simhash_tables)
+    # stride must track the engine's chunk width (simhash_table_keys shifts
+    # by t*(bits//tables)) — derive it from cfg like the mask, and keep the
+    # sibling generators' fail-fast discipline on the coupling
+    chunk_bits = cfg.simhash_bits // cfg.simhash_tables
+    assert chunk_bits * cfg.simhash_tables == cfg.simhash_bits, (
+        "simhash_bits must divide evenly into simhash_tables"
     )
-    chunk_mask = (1 << (cfg.simhash_bits // cfg.simhash_tables)) - 1
+    t_rows = ", ".join(
+        f"({t}, {1 << (chunk_bits * t)}::HUGEINT)"
+        for t in range(cfg.simhash_tables)
+    )
+    chunk_mask = (1 << chunk_bits) - 1
     ksm_ctes, ksm_final = _splitmix_ctes("ksm", "skraw", "kv", "doc_id, t")
     return f"""
 WITH {ctes},

@@ -54,12 +54,22 @@ def test_sibling_cache_eviction_keeps_sig_gate():
 
 
 def test_sig_eviction_cleans_its_gate():
+    # the gate side table rides the on_evict callback exactly as the
+    # production _sigs() insertion wires it
     E = _entry()
+    gate = lambda k: E._MAX_CLASS_CACHE.pop(k, None)  # noqa: E731
     for i in range(3):
         E._MAX_CLASS_CACHE[("app1", f"sf{i}")] = i
-        E._cache_put(E._SIG_CACHE, ("app1", f"sf{i}"), _FakeDF())
+        E._cache_put(
+            E._SIG_CACHE, ("app1", f"sf{i}"), _FakeDF(), on_evict=gate
+        )
     assert ("app1", "sf0") not in E._MAX_CLASS_CACHE
     assert ("app1", "sf2") in E._MAX_CLASS_CACHE
+    # dead-session sweep fires the callback too
+    E._MAX_CLASS_CACHE[("app2", "sfX")] = 9
+    E._SIG_CACHE[("app2", "sfX")] = _FakeDF()
+    E._cache_put(E._SIG_CACHE, ("app3", "sfY"), _FakeDF(), on_evict=gate)
+    assert ("app2", "sfX") not in E._MAX_CLASS_CACHE
 
 
 def test_release_callback_used():
