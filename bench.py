@@ -25,9 +25,12 @@ Phase order (chosen deliberately for this substrate — see BASELINE.md):
      whichever dedicated-JVM config ran later (r3 driver: eff 0.742 on
      code that measures 0.99+ fresh) — cannot bias the ratio. On a real
      cluster executors are long-lived, so the warm-JVM measurement is the
-     steady state, not a shortcut. Sampling is SPREAD over three blocks
-     (early probe / mid-bench main / post-queries late) with SYMMETRIC
-     per-config counts and every raw sample reported in the record (see
+     steady state, not a shortcut. Sampling is SPREAD over FOUR blocks
+     (early / between the headline legs / post-queries late) with SYMMETRIC
+     per-config counts, ALTERNATING in-block order so both configs get
+     fully-warm second-slot samples, the early block running the 1-core
+     config on the freshest pool (the round-5 verdict's structural fix),
+     and every raw sample reported in the record (see
      scaling_block/scaling_record). BENCH_SCALE_MODE=jvm restores the
      dedicated local[N]/local[4N] JVM-per-config protocol.
 
@@ -35,9 +38,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_SCALING=0 to skip phase 3,
      BENCH_SKIP_HEADLINE=1 to run phase 3 only (local iteration),
-     BENCH_SCALE_N (default 1), BENCH_SCALE_CORPUS_MULT (default 3),
-     BENCH_SCALE_ROUNDS (default 2 measured samples per config in the
-     main block), BENCH_SCALE_SPREAD=0 to disable the early/late blocks,
+     BENCH_SCALE_N (default 1), BENCH_SCALE_CORPUS_MULT (default 2),
+     BENCH_SCALE_ROUNDS (default 2 measured samples per config, non-spread
+     mode only), BENCH_SCALE_SPREAD=0 to disable the spread blocks,
      BENCH_SCALE_MODE=samejvm|jvm (default samejvm).
 """
 
@@ -119,17 +122,28 @@ _SCALE_NFILES = [0]
 _BENCH_T0 = time.time()
 
 
-def scaling_block(scale_path: str, n_lo: int, plan: list[str], name: str) -> None:
+def scaling_block(
+    scale_path: str,
+    n_lo: int,
+    plan: list[str],
+    name: str,
+    warm_path: str | None = None,
+) -> None:
     """Run one same-JVM partition-capped measurement block.
 
     One local[4N] JVM; config N runs every stage at N partitions (input
     repartition + spark.sql.shuffle.partitions=N) so at most N tasks are in
-    flight. ``plan`` is the ordered list of measured samples ("hi"/"lo");
-    a discarded hi warmup always absorbs the fresh JVM's page-fault storm
-    first. Samples append to the module-level pools with timestamps, so the
-    final record reports every raw sample and per-config counts — the
-    asymmetry-auditable form the round-4 review asked for (and the default
-    plans are symmetric anyway: equal measured samples per config).
+    flight. ``plan`` is the ordered list of measured samples ("hi"/"lo"); a
+    discarded hi warmup absorbs the fresh context's python-worker cold
+    start + page-fault storm first — on the SMALL headline corpus when
+    ``warm_path`` is given (cheap: the worker heaps and JIT it warms are
+    corpus-size-independent), else on the scaling corpus. Callers alternate
+    the plan order across blocks so BOTH configs get samples in the fully
+    warm second slot (round-5 driver record: the lo config's samples all
+    sat in post-churn positions; this is the structural fix the round-5
+    verdict asked for). Samples append to the module-level pools with
+    timestamps, so the final record reports every raw sample and per-config
+    counts.
     """
     n_hi = 4 * n_lo
     spark = get_spark(app_name=f"bench_{name}", master=f"local[{n_hi}]")
@@ -137,14 +151,19 @@ def scaling_block(scale_path: str, n_lo: int, plan: list[str], name: str) -> Non
     for n in {n_lo, n_hi}:
         inputs[n], _SCALE_NFILES[0] = load_input(spark, scale_path, n)
 
-    def one_run(n: int) -> float:
+    def one_run(n: int, files=None) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionNum", str(n)
         )
-        return timed_run(spark, inputs[n])
+        return timed_run(spark, files if files is not None else inputs[n])
 
-    one_run(n_hi)                                 # warmup (discarded)
+    if warm_path:
+        wf, _ = load_input(spark, warm_path, n_hi)
+        one_run(n_hi, wf)                         # warmup (discarded)
+        wf.unpersist()
+    else:
+        one_run(n_hi)                             # warmup (discarded)
     for which in plan:
         n = n_hi if which == "hi" else n_lo
         t = one_run(n)
@@ -185,6 +204,17 @@ def scaling_record(n_lo: int) -> dict:
     lo = min(s["sec"] for s in _SCALE_SAMPLES["lo"])
     hi = min(s["sec"] for s in _SCALE_SAMPLES["hi"])
     n_scale = _SCALE_NFILES[0]
+    # auxiliary evidence: per-adjacent-pair efficiencies (each lo sample
+    # against the hi sample nearest in time) — the two minima above can land
+    # in different host-health windows; the paired view shows what a single
+    # window's ratio looks like. Informational; the headline efficiency
+    # stays min-based.
+    pair_eff = []
+    for s_lo in _SCALE_SAMPLES["lo"]:
+        near_hi = min(
+            _SCALE_SAMPLES["hi"], key=lambda h: abs(h["at_sec"] - s_lo["at_sec"])
+        )
+        pair_eff.append(round(s_lo["sec"] / near_hi["sec"] / 4.0, 3))
     return {
         "mode": "partition_cap_same_jvm",
         "cores_N": n_lo,
@@ -196,6 +226,7 @@ def scaling_record(n_lo: int) -> dict:
         f"files_per_sec_local{n_hi}": round(n_scale / hi, 1),
         "speedup_N_to_4N": round(lo / hi, 3),
         "efficiency_N_to_4N": round((lo / hi) / 4.0, 3),
+        "paired_efficiencies": pair_eff,
         "samples_lo": _SCALE_SAMPLES["lo"],
         "samples_hi": _SCALE_SAMPLES["hi"],
         "n_samples": {
@@ -255,12 +286,15 @@ def main() -> None:
     skip_headline = os.environ.get("BENCH_SKIP_HEADLINE") == "1"
     scaling_on = os.environ.get("BENCH_SCALING", "1") != "0"
     n_lo = int(os.environ.get("BENCH_SCALE_N", "1"))
-    # 3× headline corpus (r4 ran 2×): the per-run serial floor is constant
-    # in data size, so a larger A/B corpus amortizes it further toward the
-    # hour-long-job regime the efficiency models — measured floor ~6 s at
-    # 1-core walls of ~47 s/43.7k files puts the 3× corpus's expected
-    # healthy-window efficiency near 0.87 vs 0.83 at 2×
-    mult = float(os.environ.get("BENCH_SCALE_CORPUS_MULT", "3"))
+    # 2× headline corpus (r5 ran 3×; the round-5 driver record motivated the
+    # trim): the per-run serial floor (~4 s warm, profile_floor.py) costs
+    # ~0.04 efficiency at 2× (healthy-window ceiling ≈ 0.88) — but a 2×
+    # 1-core sample is ~130 s instead of ~210 s, so the same wall budget
+    # buys FOUR temporally-spread blocks instead of three, and catching a
+    # healthy host window for both configs is what the efficiency number
+    # actually hinges on (r5 driver: every lo sample sat in post-churn
+    # positions; hi never caught a fully healthy window).
+    mult = float(os.environ.get("BENCH_SCALE_CORPUS_MULT", "2"))
     scale_path = corpus_path(sf * mult) if mult != 1 else path
 
     jvm_mode = os.environ.get("BENCH_SCALE_MODE", "samejvm") == "jvm"
@@ -272,21 +306,28 @@ def main() -> None:
     )
 
     # Scaling sampling plan (same-JVM partition-capped; see scaling_block):
-    # three measurement blocks spread across the whole bench — early probe
-    # (fresh pool), main block (mid-bench), late probe (after the query
-    # phase) — each contributing samples of BOTH configs, so per-config
-    # sample counts stay SYMMETRIC (1 early + 2 main + 1 late per config
-    # at the defaults) while the wide config's minimum gets three
-    # well-separated shots at a healthy host window. The scaling corpus is
-    # a multiple of the headline
-    # corpus (BENCH_SCALE_CORPUS_MULT): the per-run driver floor (Catalyst
-    # planning + job scheduling, constant in data size) is pure serial
-    # fraction at ANY corpus size, but the 100 TB design point this
-    # efficiency models amortizes it over hour-long jobs — a larger A/B
-    # corpus is the closer proxy, and both configs run the identical input
-    # so the comparison stays apples-to-apples.
-    if spread:
-        scaling_block(scale_path, n_lo, ["hi", "lo"], "scale_early")
+    # FOUR measurement blocks spread across the whole bench — early (fresh
+    # pool, lo first: the round-5 verdict's structural fix), between the
+    # headline legs, and after the query phase — each contributing one
+    # sample of BOTH configs (symmetric counts), with the in-block order
+    # ALTERNATING so each config gets two samples in the fully-warm second
+    # slot. Block warmups run on the 1× headline corpus (worker heaps + JIT
+    # are corpus-size-independent; the scaling corpus would double each
+    # block's cost for the same warmth). The scaling corpus is a multiple
+    # of the headline corpus (BENCH_SCALE_CORPUS_MULT): the per-run driver
+    # floor (Catalyst planning + job scheduling, constant in data size) is
+    # pure serial fraction at ANY corpus size, but the 100 TB design point
+    # this efficiency models amortizes it over hour-long jobs — a larger
+    # A/B corpus is the closer proxy, and both configs run the identical
+    # input so the comparison stays apples-to-apples.
+    block_plans = [["lo", "hi"], ["hi", "lo"], ["lo", "hi"], ["hi", "lo"]]
+
+    def spread_block(i: int, name: str) -> None:
+        if spread and i < len(block_plans):
+            scaling_block(scale_path, n_lo, block_plans[i], name,
+                          warm_path=path)
+
+    spread_block(0, "scale_early")
 
     if not skip_headline:
         s8 = get_spark(app_name="bench_l8", master="local[8]")
@@ -294,18 +335,19 @@ def main() -> None:
         e2e_cfg = "local[8]"
         s8.stop()
 
+    spread_block(1, "scale_mid1")
+
     scaling = None
     if scaling_on:
         if jvm_mode:
             scaling = scaling_jvm_per_config(scale_path, n_lo)
-        else:
+        elif not spread:
             rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
             plan: list[str] = []
             for r in range(rounds):
                 plan += ["lo", "hi"] if r % 2 == 0 else ["hi", "lo"]
             scaling_block(scale_path, n_lo, plan, "scale_main")
-            if not spread:
-                scaling = scaling_record(n_lo)
+            scaling = scaling_record(n_lo)
 
     if skip_headline:                                  # local iteration only
         out = {"metric": "scaling_only", "sf": sf}
@@ -330,6 +372,8 @@ def main() -> None:
         if t_w < e2e_sec:
             e2e_sec, e2e_cfg = t_w, f"local[{cpus}]/{min(cpus, 12)}part"
 
+    spread_block(2, "scale_mid2")
+
     # per-query phase
     spark = get_spark(app_name="bench_queries", master=f"local[{cpus}]")
     import __spark_entry__ as entrymod
@@ -346,11 +390,10 @@ def main() -> None:
     qtimes["e2e_pipeline"] = round(e2e_sec, 3)
     spark.stop()
 
-    # late scaling probe: the third temporally-spread sample pair, taken
-    # after the query phase so it sits maximally far from the other two
-    # blocks (the record's minimum is over all three)
-    if spread:
-        scaling_block(scale_path, n_lo, ["hi", "lo"], "scale_late")
+    # late scaling probe: the fourth temporally-spread sample pair, taken
+    # after the query phase so it sits maximally far from the other blocks
+    # (the record's minimum is over all four)
+    spread_block(3, "scale_late")
     if scaling_on and not jvm_mode:
         scaling = scaling_record(n_lo)
 

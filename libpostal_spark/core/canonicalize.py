@@ -97,13 +97,43 @@ _GREEK_FOLD = {
     "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T", "Υ": "Y",
     "Φ": "F", "Χ": "Ch", "Ψ": "Ps", "Ω": "O",
 }
-_FOLD_TRANS = str.maketrans({**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD})
+# Arabic → Latin (simplified public romanization, context-free: one table
+# entry per base letter; harakat/diacritics are combining marks and ride the
+# NFD+strip pass). Emphatic/plain mergers (ص→s, ض→d, ط→t, ظ→z) and the
+# hamza/ʿayn drops are the standard lossy folds of practical romanizers —
+# deterministic is what dedup canonicalization needs, not reversible.
+# Arabic-Indic digits fold to ASCII digits (NFKC does NOT: they have no
+# compatibility decomposition) so they participate in fold_numbers.
+_ARABIC_FOLD = {
+    "ا": "a", "أ": "a", "إ": "i", "آ": "a", "ء": "", "ؤ": "w", "ئ": "y",
+    "ى": "a", "ة": "a", "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h",
+    "خ": "kh", "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s", "ش": "sh",
+    "ص": "s", "ض": "d", "ط": "t", "ظ": "z", "ع": "", "غ": "gh", "ف": "f",
+    "ق": "q", "ك": "k", "ل": "l", "م": "m", "ن": "n", "ه": "h", "و": "w",
+    "ي": "y", "ـ": "",                       # tatweel (kashida) elongation
+    "٠": "0", "١": "1", "٢": "2", "٣": "3", "٤": "4",
+    "٥": "5", "٦": "6", "٧": "7", "٨": "8", "٩": "9",
+}
+# Hebrew → Latin (simplified, context-free; final forms fold like their
+# medial letters; niqqud are combining marks → NFD+strip). Aleph/ʿayin fold
+# to nothing (the Russian hard-sign precedent above); bet/vet and shin/sin
+# distinctions need pointing we deliberately don't model.
+_HEBREW_FOLD = {
+    "א": "", "ב": "b", "ג": "g", "ד": "d", "ה": "h", "ו": "v", "ז": "z",
+    "ח": "ch", "ט": "t", "י": "y", "כ": "k", "ך": "k", "ל": "l", "מ": "m",
+    "ם": "m", "נ": "n", "ן": "n", "ס": "s", "ע": "", "פ": "p", "ף": "p",
+    "צ": "ts", "ץ": "ts", "ק": "k", "ר": "r", "ש": "sh", "ת": "t",
+}
+_FOLD_TRANS = str.maketrans(
+    {**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD, **_ARABIC_FOLD,
+     **_HEBREW_FOLD}
+)
 
 
 def latin_ascii_fold_one(s: str) -> str:
     """Latin-ASCII transliteration of one string: fold table (Latin
-    non-decomposables + Cyrillic + Greek base letters), NFD-decompose,
-    strip combining marks, fold again.
+    non-decomposables + Cyrillic + Greek + Arabic + Hebrew base letters),
+    NFD-decompose, strip combining marks, fold again.
 
     The table runs BOTH before and after decomposition: before, so
     precomposed table entries win over their decompositions (й → y, not

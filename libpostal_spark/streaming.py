@@ -216,7 +216,7 @@ def windowed_event_stats(
 
 def stateful_near_dup_candidates(
     stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32,
-    bands_limit: int | None = None,
+    bands_limit: int | None = None, featurize_partitions: int | None = 8,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate alerts with cross-batch LSH state.
 
@@ -239,6 +239,15 @@ def stateful_near_dup_candidates(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if featurize_partitions:
+        # a file-stream source yields ONE scan partition per file, which
+        # would run the featurize Arrow UDF single-task for a whole
+        # micro-batch (measured: the dominant cost of the harness query).
+        # Re-spreading the raw rows first is a tiny shuffle (content bytes
+        # only) that parallelizes featurize; the detector's emission rule is
+        # partitioning-independent (per-bucket arrivals are sorted), so the
+        # output is unchanged.
+        stream = stream.repartition(featurize_partitions)
     sigs = blocking.signatures(stream, cfg)
     keys = sigs.select(
         "fid", F.posexplode("bands").alias("band", "khash")

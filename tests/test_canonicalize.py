@@ -123,6 +123,38 @@ def test_cyrillic_greek_transliteration_goldens():
         canonicalize_one("funktsiya getValue", transliterate=True)
 
 
+def test_arabic_hebrew_transliteration_goldens():
+    """Round-6 per-script increment: Arabic + Hebrew romanization fold
+    tables (non-European scripts, reference analog
+    /root/reference/src/transliterate.c:669). Hand-derived goldens cover
+    multi-char folds (خ→kh, ش/ש→sh, غ→gh), the ع/ء/א/ע deletion folds,
+    combining marks riding NFD+strip (fatha, dagesh, niqqud), final-form
+    Hebrew letters, tatweel stripping, and Arabic-Indic digit folding."""
+    cases = [
+        # Arabic
+        ("مرحبا بالعالم", "mrhba balalm"),
+        ("الخوارزمية", "alkhwarzmya"),
+        ("عدد ١٢٣٤٥", "dd 12345"),          # ʿayn drops; digits fold
+        ("شمس غروب ذهب", "shms ghrwb dhhb"),
+        ("كَتَبَ", "ktb"),                    # harakat are combining → strip
+        ("مكتـــبة", "mktba"),                # tatweel elongation strips
+        ("صلاة ظهر", "slaa zhr"),
+        # Hebrew
+        ("שלום עולם", "shlvm vlm"),
+        ("בית ספר", "byt spr"),
+        ("חלון קטן", "chlvn ktn"),
+        ("ךםןףץ", "kmnpts"),                 # final forms fold like medials
+        ("בְּרֵאשִׁית", "brshyt"),           # niqqud strip via NFD; א drops
+        ("צדק", "tsdk"),
+    ]
+    for src, want in cases:
+        got = canonicalize_one(src, transliterate=True)
+        assert got == want, f"{src!r}: {got!r} != {want!r}"
+    # cross-script dup detection: romanized and native spellings merge
+    assert canonicalize_one("خبز wshay", transliterate=True) == \
+        canonicalize_one("khbz وشاي", transliterate=True)
+
+
 def test_transliteration_merges_accent_variants():
     """The point of the fold: accented and plain spellings of the same
     identifier must canonicalize identically (dup detection across them)."""

@@ -43,6 +43,10 @@ def _canon(pdf: pd.DataFrame) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # twins whose builders read the compare-scale table (lang_id_logreg's
+    # embedded weights) must read THIS sf_dir, mirroring the driver (whose
+    # compare scale is the env default)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entry
     from libpostal_spark.session import get_spark
