@@ -163,7 +163,16 @@ def connected_components_driver(pairs: DataFrame) -> DataFrame:
     driver and a single collect + union-find beats ~10 distributed rounds of
     shuffle jobs. Same output contract as ``connected_components``.
     """
-    rows = pairs.select("fid1", "fid2").collect()
+    return union_find_rows(
+        pairs.select("fid1", "fid2").collect(), pairs.sparkSession
+    )
+
+
+def union_find_rows(rows, spark) -> DataFrame:
+    """Driver union-find over already-collected (fid1, fid2) rows — the
+    core of ``connected_components_driver``, split out so callers that
+    already hold the edge rows (the pipeline's merged materialize+collect
+    action) skip the second collect job."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -188,7 +197,6 @@ def connected_components_driver(pairs: DataFrame) -> DataFrame:
     out = pd.DataFrame(
         {"fid": list(nodes), "component": [find(n) for n in nodes]}
     )
-    spark = pairs.sparkSession
     # Arrow-path createDataFrame (pandas input): one zero-copy batch instead
     # of the row-reflection local-relation path — measurably cheaper driver
     # time on every pipeline run that routes CC to the driver

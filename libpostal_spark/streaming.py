@@ -216,7 +216,7 @@ def windowed_event_stats(
 
 def stateful_near_dup_candidates(
     stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32,
-    bands_limit: int | None = None, featurize_partitions: int | None = 8,
+    bands_limit: int | None = None, featurize_partitions: int | None = 16,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate alerts with cross-batch LSH state.
 
@@ -242,9 +242,11 @@ def stateful_near_dup_candidates(
     if featurize_partitions:
         # a file-stream source yields ONE scan partition per file, which
         # would run the featurize Arrow UDF single-task for a whole
-        # micro-batch (measured: the dominant cost of the harness query).
-        # Re-spreading the raw rows first is a tiny shuffle (content bytes
-        # only) that parallelizes featurize; the detector's emission rule is
+        # micro-batch (measured: the dominant cost of the harness query —
+        # interleaved A/B at sf0.1: 13.5-14.2 s unpartitioned vs 9.4-10.3 s
+        # at 8 vs 7.0-7.2 s at 16, identical output). Re-spreading the raw
+        # rows first is a tiny shuffle (content bytes only) that
+        # parallelizes featurize; the detector's emission rule is
         # partitioning-independent (per-bucket arrivals are sorted), so the
         # output is unchanged.
         stream = stream.repartition(featurize_partitions)
