@@ -2124,13 +2124,17 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _ann_ivf_sql() -> str:
-    """DuckDB twin of ivf_topk at the driver's compare scale (sf0.01): the
+    """DuckDB twin of ivf_topk at the compare scale (SPARK_GRAFT_ORACLE_SF_DIR,
+    default the driver's sf0.01 — the sf0.1 sweep caught the former
+    hardcoded path as the one remaining scale-coupled twin builder): the
     FINAL fitted centroids embedded as literals, first-max assignment scan
     (argmax tie toward lower list id, = numpy argmax), literal probe list,
     exact cosine re-rank."""
     import numpy as np
 
-    C, qvec = _ivf_centroids("/root/testdata/sf0.01")
+    C, qvec = _ivf_centroids(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     k = len(C)
     scores = C @ np.asarray(qvec, dtype=float)
     probes = [int(x) for x in np.argsort(-scores, kind="stable")[: _IVF["nprobe"]]]

@@ -48,7 +48,11 @@ XNORM_BITS = 12                  # xn = (x << XNORM_BITS) // sum(x): fixed-
 #                                  accuracy vs 0.436 normalized at sf0.01)
 X_CAP = 15                       # per-doc trigram count cap (LEAST in SQL)
 DEFAULT_K = 256                  # vocab size (top-K trigrams)
-DEFAULT_T = 12                   # GD iterations
+DEFAULT_T = 6                    # GD iterations (each is one tiny Spark job
+#                                  in the distributed fit; T=4 already
+#                                  saturates the decorated task at 1.00,
+#                                  6 keeps headroom at half the job count
+#                                  of the initial 12)
 LR_NUM, LR_DEN = 2, 1            # learning rate 2.0 (rational, exact;
 #                                  lr 8 measured divergent, 2-4 plateau)
 

@@ -30,8 +30,21 @@ TABLES = (
 
 # streaming twins drive real Structured-Streaming queries (their own oracle
 # coverage lives in the driver harness + test_streaming.py); at sf0.1 they
-# dominate the sweep's wall without adding scale-coupling signal
-_SWEEP_SKIP = {"streaming_window_stats", "streaming_lsh_candidates"}
+# dominate the sweep's wall without adding scale-coupling signal. The two
+# exhaustive-closure cluster twins are excluded on cost grounds: their
+# oracles brute-force EVERY doc pair (12.5M token-set Jaccards at sf0.1 —
+# DuckDB ran >30 min without finishing when measured), and their SQL is
+# scale-free by construction (recursive CTE over the registered view, zero
+# table-derived literals — the brittleness class this sweep hunts); they
+# stay hash-verified at the driver's sf0.01 every round. Measured sweep
+# wall for the remaining 44 twins: ~13 min (the two ~100 s DuckDB items
+# are canonicalize_langid_routed and gazetteer_matches replace-chains).
+_SWEEP_SKIP = {
+    "streaming_window_stats",
+    "streaming_lsh_candidates",
+    "doc_near_dup_clusters",
+    "dup_status_pairs",
+}
 
 
 def _canon(pdf: pd.DataFrame) -> str:
