@@ -67,7 +67,10 @@ class LogRegModel:
     @property
     def bias_pred(self) -> str:
         """Prediction for a doc with zero features: argmax of bias alone
-        (ties to the smaller language) — the SQL twin's fallback constant."""
+        (ties to the smaller language) — the SQL twin's fallback constant.
+        An unfittable model (no labeled sample rows) predicts 'und'."""
+        if not self.classes:
+            return "und"
         zi = int(np.max(self.b_int))
         cands = [c for c, b in zip(self.classes, self.b_int) if int(b) == zi]
         return min(cands)
@@ -161,6 +164,8 @@ def apply_update(
     QUANT_BITS, so the e_int quantization scale cancels against the weight
     scale; GW additionally carries the 2^XNORM_BITS feature scale, divided
     back out here."""
+    if n_fit == 0:          # unfittable sample: weights stay zero
+        return
     den = LR_DEN * n_fit
     W_int -= (LR_NUM * GW) // (den << XNORM_BITS)
     b_int -= (LR_NUM * Gb) // den
