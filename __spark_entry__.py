@@ -262,10 +262,11 @@ def _translit_sql() -> str:
 
 
 # Non-European-script decoration for the extended transliteration query
-# (round-5 verdict item 3): Arabic + Hebrew suffixes, including combining
-# marks (fatha U+064E, dagesh U+05BC) that must ride the NFD+strip pass,
-# Arabic-Indic digits that must fold to ASCII digits, and the ع/ע → ''
-# deletion folds. Both engines append the same suffix by doc_id % 8.
+# (round-5 verdict item 3): Arabic + Hebrew + Kana suffixes, including
+# combining marks (fatha U+064E, dagesh U+05BC) that must ride the
+# NFD+strip pass, Arabic-Indic digits that must fold to ASCII digits, the
+# ع/ע → '' deletion folds, and the katakana long-vowel-mark drop. Both
+# engines append the same suffix by doc_id % 10.
 _TRANSLIT_EXT_SUFFIXES = [
     "مرحبا بالعالم",
     "خبز وشاي",
@@ -275,13 +276,19 @@ _TRANSLIT_EXT_SUFFIXES = [
     "ספר תורה",
     "בּגד כּף",
     "كَتَبَ غضب",
+    "にほんご すし",
+    "カタカナ ラーメン",
 ]
 # hand-derived fold map for the suffix alphabet (core/canonicalize.py
-# _ARABIC_FOLD/_HEBREW_FOLD entries actually exercised above). Multi-char
-# folds and deletions ride replace(); 1:1 folds ride one translate().
+# _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD entries actually exercised above).
+# Multi-char folds and deletions ride replace(); 1:1 folds ride one
+# translate().
 _TRANSLIT_EXT_MULTI = [
     ("خ", "kh"), ("ش", "sh"), ("غ", "gh"), ("ש", "sh"),
     ("ع", ""), ("ע", ""), ("َ", ""), ("ּ", ""),
+    ("に", "ni"), ("ほ", "ho"), ("ご", "go"), ("す", "su"), ("し", "shi"),
+    ("カ", "ka"), ("タ", "ta"), ("ナ", "na"), ("ラ", "ra"), ("メ", "me"),
+    ("ー", ""),
 ]
 _TRANSLIT_EXT_ONE = [
     ("م", "m"), ("ر", "r"), ("ح", "h"), ("ب", "b"), ("ا", "a"), ("ل", "l"),
@@ -291,14 +298,15 @@ _TRANSLIT_EXT_ONE = [
     ("ל", "l"), ("ו", "v"), ("ם", "m"), ("ס", "s"), ("פ", "p"), ("ר", "r"),
     ("ת", "t"), ("ה", "h"), ("ב", "b"), ("י", "y"), ("כ", "k"), ("ף", "p"),
     ("ג", "g"), ("ד", "d"),
+    ("ん", "n"), ("ン", "n"),
 ]
 
 
 def _q_canonicalize_translit_ext(spark, sf_dir):
     """Canonicalization with transliteration over NON-EUROPEAN scripts:
-    Arabic + Hebrew romanization fold tables (core/canonicalize.py
-    _ARABIC_FOLD/_HEBREW_FOLD — the per-script increment toward the
-    reference's CLDR transliterator coverage,
+    Arabic + Hebrew + Kana romanization fold tables (core/canonicalize.py
+    _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD — the per-script increment toward
+    the reference's CLDR transliterator coverage,
     /root/reference/src/transliterate.c:669)."""
     canon_udf = make_canonicalize_udf(transliterate=True)
     arr = F.array(*[F.lit(s) for s in _TRANSLIT_EXT_SUFFIXES])

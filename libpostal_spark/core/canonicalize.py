@@ -124,9 +124,37 @@ _HEBREW_FOLD = {
     "ם": "m", "נ": "n", "ן": "n", "ס": "s", "ע": "", "פ": "p", "ף": "p",
     "צ": "ts", "ץ": "ts", "ק": "k", "ר": "r", "ש": "sh", "ת": "t",
 }
+# Kana → romaji (Hepburn-style, CONTEXT-FREE per-kana table: digraphs like
+# きゃ render as "kiya" not "kya", gemination っ and the long-vowel mark ー
+# drop — the same lossy-but-deterministic trade as the other scripts).
+# Katakana shares the syllabary at a fixed +0x60 code-point offset, so one
+# table generates both blocks.
+_KANA_BASE = dict(
+    zip(
+        "あいうえおかきくけこさしすせそたちつてとなにぬねのはひふへほ"
+        "まみむめもやゆよらりるれろわをん",
+        "a i u e o ka ki ku ke ko sa shi su se so ta chi tsu te to "
+        "na ni nu ne no ha hi fu he ho ma mi mu me mo ya yu yo "
+        "ra ri ru re ro wa wo n".split(),
+    )
+)
+_KANA_BASE.update(
+    zip(
+        "がぎぐげござじずぜぞだぢづでどばびぶべぼぱぴぷぺぽ",
+        "ga gi gu ge go za ji zu ze zo da ji zu de do "
+        "ba bi bu be bo pa pi pu pe po".split(),
+    )
+)
+_KANA_BASE.update(zip("ぁぃぅぇぉゃゅょ", "a i u e o ya yu yo".split()))
+_KANA_BASE["っ"] = ""
+_KANA_FOLD = {
+    **_KANA_BASE,
+    **{chr(ord(k) + 0x60): v for k, v in _KANA_BASE.items()},  # katakana
+    "ー": "",                       # long-vowel mark (katakana block)
+}
 _FOLD_TRANS = str.maketrans(
     {**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD, **_ARABIC_FOLD,
-     **_HEBREW_FOLD}
+     **_HEBREW_FOLD, **_KANA_FOLD}
 )
 
 

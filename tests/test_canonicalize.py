@@ -155,6 +155,26 @@ def test_arabic_hebrew_transliteration_goldens():
         canonicalize_one("khbz وشاي", transliterate=True)
 
 
+def test_kana_transliteration_goldens():
+    """Kana → romaji (context-free Hepburn-style table; digraphs render
+    per-kana, gemination っ and the long-vowel mark ー drop — documented
+    lossy folds). Katakana generated from the hiragana table at the fixed
+    +0x60 code-point offset."""
+    cases = [
+        ("にほんご すし", "nihongo sushi"),
+        ("カタカナ ラーメン", "katakana ramen"),
+        ("とうきょう", "toukiyou"),        # context-free digraph rendering
+        ("がっこう", "gakou"),             # っ drops
+        ("きゃく", "kiyaku"),
+        ("ワヲン", "wawon"),
+        ("パン ぱん", "pan pan"),          # katakana ≡ hiragana romaji
+    ]
+    for src, want in cases:
+        got = canonicalize_one(src, transliterate=True)
+        assert got == want, f"{src!r}: {got!r} != {want!r}"
+    assert canonicalize_one("すし sushi", transliterate=True) == "sushi sushi"
+
+
 def test_transliteration_merges_accent_variants():
     """The point of the fold: accented and plain spellings of the same
     identifier must canonicalize identically (dup detection across them)."""
