@@ -2584,6 +2584,38 @@ def _q_media_real_decode(spark, sf_dir):
     )
 
 
+def _address_parse_sql() -> str:
+    """DuckDB twin of address_parse: both sides share the SAME trained
+    model (operators/parser.get_address_model — deterministic pure-grid
+    fit, so no sf keying is needed); the twin replays the full greedy
+    decode in SQL (see parser.twin_sql)."""
+    from libpostal_spark.operators import parser as P
+
+    return P.twin_sql()
+
+
+def _q_address_parse(spark, sf_dir):
+    """Address parser — the reference's headline subsystem
+    (/root/reference/src/address_parser.c, averaged_perceptron_tagger.c):
+    greedy averaged-perceptron sequence tagging with prev/prev2 tag
+    history, integer-exact averaged weights (core/perceptron.py), offline
+    deterministic training, distributed Arrow-batched prediction.
+    Addresses synthesized from customer ⋈ nation ⋈ region in 3 dialects
+    (digit tokens ambiguous between house_number/unit/postcode — only
+    the tag-history features disambiguate); measured tagging accuracy on
+    the table-derived holdout: 1.000 (operators/parser.py)."""
+    from libpostal_spark.operators import parser as P
+
+    df = P.parse_addresses(P.synth_addresses(spark, sf_dir))
+    return df.select(
+        "custkey",
+        "address",
+        "tags_pred",
+        "tags_gold",
+        (F.col("tags_pred") == F.col("tags_gold")).alias("is_correct"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
@@ -2629,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dedup_clusters": _q_code_clusters,
         "media_decode_features": _q_media_features,
         "media_real_decode": _q_media_real_decode,
+        "address_parse": _q_address_parse,
         "streaming_window_stats": _q_streaming_window_stats,
         "streaming_lsh_candidates": _q_streaming_lsh_candidates,
         "token_freq_topk": _q_token_freq_topk,
@@ -3083,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_trigram": _langid_trigram_sql(),
         "lang_id_logreg": _langid_logreg_sql(),
+        # unrolled greedy averaged-perceptron decode with the trained
+        # integer weights embedded as VALUES (operators/parser.py)
+        "address_parse": _address_parse_sql(),
         "token_jaccard_adjacent": """
             WITH toks AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

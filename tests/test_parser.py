@@ -1,0 +1,104 @@
+"""Address parser (averaged perceptron) — core/perceptron.py +
+operators/parser.py vs the reference tagger design
+(src/averaged_perceptron_tagger.c greedy decode, src/address_parser.c)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from libpostal_spark.core.perceptron import decode, fit  # noqa: E402
+from libpostal_spark.operators import parser as P  # noqa: E402
+
+
+def test_fit_deterministic():
+    """Two independent fits produce bit-identical weight tables (pure
+    function of its inputs — the property the SQL twin relies on)."""
+    ex = P.training_examples()
+    m1 = fit(ex, P.TAGS, P.address_features, iters=P.FIT_ITERS)
+    m2 = fit(ex, P.TAGS, P.address_features, iters=P.FIT_ITERS)
+    assert m1.tags == m2.tags
+    assert m1.export_rows() == m2.export_rows()
+    assert len(m1.export_rows()) > 50
+
+
+def test_training_converges():
+    """The grid is linearly separable under the feature templates: the
+    trained model re-decodes every training sequence exactly."""
+    m = P.get_address_model()
+    errs = sum(
+        decode(toks, m.weights, m.tags, P.address_features) != tags
+        for toks, tags in P.training_examples()
+    )
+    assert errs == 0
+
+
+def test_holdout_accuracy_exact():
+    """Custkey-style generation (different number streams + unseen
+    city/road/country combinations) decodes 100% — digit normalization
+    plus the tag-history features generalize past the training grid."""
+    for k in range(0, 3000, 7):
+        toks, gold = P.render_address(
+            k % 3,
+            k % 9999 + 1,
+            P.ROADS[(k // 3) % len(P.ROADS)],
+            P.ROAD_KINDS[(k // 7) % len(P.ROAD_KINDS)],
+            k % 97 + 1,
+            P.CITIES[k % len(P.CITIES)],
+            (k * 7919) % 90000 + 10000,
+            P.COUNTRIES[(k // 11) % len(P.COUNTRIES)],
+        )
+        assert P.parse_tokens(toks) == gold, toks
+
+
+def test_history_features_matter():
+    """The dialect-1 house number (digit after two road tokens) and the
+    dialect-2 unit (digit after 'apt') are the SAME word shape — only
+    the predicted-tag history separates them (the reference's reason
+    for prev/prev2 conditioning, averaged_perceptron_tagger.c:16-68)."""
+    assert P.parse_tokens(["oak", "road", "17", "fairview", "asia"]) == [
+        "road", "road", "house_number", "city", "country",
+    ]
+    assert P.parse_tokens(
+        ["17", "oak", "road", "apt", "4", "fairview", "90210", "asia"]
+    ) == [
+        "house_number", "road", "road", "unit", "unit", "city",
+        "postcode", "country",
+    ]
+
+
+def test_distributed_matches_local(spark):
+    """One Arrow-batched prediction pass == the local decode, row for
+    row, and the synthesized gold labels agree with render_address."""
+    sf_dir = "/root/testdata/sf0.001"
+    pdf = P.parse_addresses(P.synth_addresses(spark, sf_dir)).toPandas()
+    assert len(pdf) == 150
+    for _, r in pdf.iterrows():
+        assert r["tags_pred"] == " ".join(P.parse_tokens(r["address"].split(" ")))
+        assert r["tags_pred"] == r["tags_gold"]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_twin_scale_free(sf_dir):
+    """The SQL twin replays the full greedy decode bit-exactly at two sf
+    dirs without regeneration (weights are table-independent)."""
+    con = duckdb.connect()
+    try:
+        for t in ("customer", "nation", "region"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        df = con.sql(P.twin_sql()).df()
+    finally:
+        con.close()
+    assert df["is_correct"].all()
+    for _, r in df.iterrows():
+        assert r["tags_pred"] == " ".join(
+            P.parse_tokens(r["address"].split(" "))
+        )
