@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from libpostal_spark.core import crf
 from libpostal_spark.core.perceptron import PerceptronModel, decode, fit
 
 # tag ids are list positions; ties in the argmax break toward the
@@ -82,22 +83,29 @@ def _norm(tok: str) -> str:
     return NUM if tok.isdigit() else tok
 
 
-def address_features(
-    tokens, i: int, prev: str | None, prev2: str | None
-) -> list[str]:
-    """Feature templates — every value is a plain string concat of
-    token/tag text so the SQL twin can rebuild them verbatim."""
+def obs_features(tokens, i: int) -> list[str]:
+    """OBSERVATION feature templates (shared by both model types) —
+    every value is a plain string concat of token text so the SQL twins
+    can rebuild them verbatim."""
     n = len(tokens)
-    w = _norm(tokens[i])
     return [
-        "w=" + w,
+        "w=" + _norm(tokens[i]),
         "shape=" + ("num" if tokens[i].isdigit() else "alpha"),
         "i=0" if i == 0 else ("i=last" if i == n - 1 else "i=mid"),
         "prevw=" + (_norm(tokens[i - 1]) if i > 0 else BOS),
         "nextw=" + (_norm(tokens[i + 1]) if i < n - 1 else EOS),
+    ]
+
+
+def address_features(
+    tokens, i: int, prev: str | None, prev2: str | None
+) -> list[str]:
+    """Greedy-model features: observations + predicted-tag history
+    (the reference tagger's word / prev-tag / prev-tag×word families)."""
+    return obs_features(tokens, i) + [
         "p1=" + (prev or BOS),
         "p2=" + (prev2 or BOS),
-        "p1w=" + (prev or BOS) + "|" + w,
+        "p1w=" + (prev or BOS) + "|" + _norm(tokens[i]),
     ]
 
 
@@ -152,6 +160,14 @@ def get_address_model() -> PerceptronModel:
     """Train once per process (deterministic ⇒ identical everywhere;
     converges to 0 training errors — pytest-asserted)."""
     return fit(training_examples(), TAGS, address_features, iters=FIT_ITERS)
+
+
+@functools.lru_cache(maxsize=1)
+def get_address_crf() -> "crf.CRFModel":
+    """The CRF variant (reference model type 2, src/crf.c): observation
+    features only + a learned dense transition matrix, Viterbi-decoded.
+    Same grid, same determinism, 0 training errors (pytest-asserted)."""
+    return crf.fit(training_examples(), TAGS, obs_features, iters=FIT_ITERS)
 
 
 def parse_tokens(tokens: Iterable[str], model: PerceptronModel | None = None
@@ -239,6 +255,21 @@ def parse_addresses(df: DataFrame, address_col: str = "address") -> DataFrame:
     return df.withColumn("tags_pred", _parse(F.col(address_col)))
 
 
+def parse_addresses_crf(
+    df: DataFrame, address_col: str = "address"
+) -> DataFrame:
+    """CRF prediction: same distributed shape (one Arrow-batched pass,
+    model in the closure), Viterbi decode per row."""
+    model = get_address_crf()
+
+    @F.pandas_udf("string")
+    def _parse(addrs: pd.Series) -> pd.Series:
+        return addrs.map(lambda a: " ".join(
+            crf.decode(a.split(" "), model, obs_features)))
+
+    return df.withColumn("tags_pred", _parse(F.col(address_col)))
+
+
 # ----------------------------------------------------------- SQL twin
 
 def _q(s: str) -> str:
@@ -254,45 +285,15 @@ _MAX_TOKENS = 9
 _ISNUM = "regexp_matches({0}, '^[0-9]+$')"
 
 
-def twin_sql() -> str:
-    """DuckDB replay of the FULL pipeline: identical address synthesis,
-    identical feature strings, and the greedy decode unrolled one CTE
-    per token position (history features joined against the same
-    weights VALUES; argmax via QUALIFY row_number with the (score DESC,
-    tid ASC) tie-break matching np.argmax's first-max rule)."""
-    m = get_address_model()
-    w_vals = ",\n".join(
-        f"({_q(f)},{tid},{w})" for f, tid, w in m.export_rows()
-    )
+def _scaffold_sql(w_vals: str) -> str:
+    """Shared WITH-prefix for both model twins: address synthesis
+    (mirrors synth_addresses' integer arithmetic verbatim), tokenize,
+    per-position observation context, observation-feature strings, the
+    weight VALUES, the tag enumeration, and the summed per-(id, i, tid)
+    state scores."""
     tg_vals = ",".join(f"({i},{_q(t)})" for i, t in enumerate(TAGS))
-    steps = []
-    for i in range(1, _MAX_TOKENS + 1):
-        steps.append(f"""
-        step{i} AS (
-          SELECT s.id, s.n, tg.tname AS p1, s.p1 AS p2,
-                 CASE WHEN s.acc = '' THEN tg.tname
-                      ELSE s.acc || ' ' || tg.tname END AS acc
-          FROM step{i - 1} s
-          JOIN ctx cx ON cx.id = s.id AND cx.i = {i}
-          CROSS JOIN tg
-          LEFT JOIN sfs sf ON sf.id = s.id AND sf.i = {i} AND sf.tid = tg.tid
-          LEFT JOIN wt h1 ON h1.f = 'p1=' || s.p1 AND h1.tid = tg.tid
-          LEFT JOIN wt h2 ON h2.f = 'p2=' || s.p2 AND h2.tid = tg.tid
-          LEFT JOIN wt h3 ON h3.f = 'p1w=' || s.p1 || '|' || cx.nw
-                         AND h3.tid = tg.tid
-          WHERE s.n >= {i}
-          QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY s.id
-            ORDER BY COALESCE(sf.s, 0) + COALESCE(h1.w, 0)
-                   + COALESCE(h2.w, 0) + COALESCE(h3.w, 0) DESC,
-                     tg.tid ASC) = 1
-        )""")
-    finals = "\n          UNION ALL ".join(
-        f"SELECT id, acc FROM step{i} WHERE n = {i}"
-        for i in range(1, _MAX_TOKENS + 1)
-    )
     return f"""
-        WITH cust AS (
+        cust AS (
           SELECT CAST(c.c_custkey AS BIGINT) AS id,
                  CAST(c.c_nationkey AS BIGINT) AS nk,
                  lower(r.r_name) AS country
@@ -368,7 +369,47 @@ def twin_sql() -> str:
           SELECT fe.id, fe.i, wt.tid, SUM(wt.w) AS s
           FROM feats fe JOIN wt ON wt.f = fe.f
           GROUP BY fe.id, fe.i, wt.tid
-        ),
+        )"""
+
+
+def twin_sql() -> str:
+    """DuckDB replay of the FULL pipeline: identical address synthesis,
+    identical feature strings, and the greedy decode unrolled one CTE
+    per token position (history features joined against the same
+    weights VALUES; argmax via QUALIFY row_number with the (score DESC,
+    tid ASC) tie-break matching np.argmax's first-max rule)."""
+    m = get_address_model()
+    w_vals = ",\n".join(
+        f"({_q(f)},{tid},{w})" for f, tid, w in m.export_rows()
+    )
+    steps = []
+    for i in range(1, _MAX_TOKENS + 1):
+        steps.append(f"""
+        step{i} AS (
+          SELECT s.id, s.n, tg.tname AS p1, s.p1 AS p2,
+                 CASE WHEN s.acc = '' THEN tg.tname
+                      ELSE s.acc || ' ' || tg.tname END AS acc
+          FROM step{i - 1} s
+          JOIN ctx cx ON cx.id = s.id AND cx.i = {i}
+          CROSS JOIN tg
+          LEFT JOIN sfs sf ON sf.id = s.id AND sf.i = {i} AND sf.tid = tg.tid
+          LEFT JOIN wt h1 ON h1.f = 'p1=' || s.p1 AND h1.tid = tg.tid
+          LEFT JOIN wt h2 ON h2.f = 'p2=' || s.p2 AND h2.tid = tg.tid
+          LEFT JOIN wt h3 ON h3.f = 'p1w=' || s.p1 || '|' || cx.nw
+                         AND h3.tid = tg.tid
+          WHERE s.n >= {i}
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.id
+            ORDER BY COALESCE(sf.s, 0) + COALESCE(h1.w, 0)
+                   + COALESCE(h2.w, 0) + COALESCE(h3.w, 0) DESC,
+                     tg.tid ASC) = 1
+        )""")
+    finals = "\n          UNION ALL ".join(
+        f"SELECT id, acc FROM step{i} WHERE n = {i}"
+        for i in range(1, _MAX_TOKENS + 1)
+    )
+    return f"""
+        WITH {_scaffold_sql(w_vals)},
         step0 AS (
           SELECT id, n, '{BOS}' AS p1, '{BOS}' AS p2, '' AS acc FROM tk
         ),{",".join(steps)},
@@ -377,6 +418,65 @@ def twin_sql() -> str:
         )
         SELECT a.id AS custkey, a.address, f.acc AS tags_pred, a.tags_gold,
                f.acc = a.tags_gold AS is_correct
+        FROM addr a JOIN fin f ON f.id = a.id
+        ORDER BY custkey
+    """
+
+
+def crf_twin_sql() -> str:
+    """DuckDB replay of the CRF variant: the Viterbi recurrence unrolled
+    one CTE per token position.  Each v{{k}} holds, per (id, tag j), the
+    best-scoring length-k path ENDING in j (score + the path string —
+    carrying per-state best paths is exactly the backpointer matrix);
+    the best-previous argmax and the final argmax both use the (score
+    DESC, tid ASC) ordering = the reference's strict `<` first-max
+    loops (crf_context.c:567-660) = np.argmax."""
+    m = get_address_crf()
+    w_vals = ",\n".join(
+        f"({_q(f)},{tid},{w})" for f, tid, w in m.export_state_rows()
+    )
+    tr_vals = ",".join(
+        f"({i},{j},{w})" for i, j, w in m.export_trans_rows()
+    ) or "(0,0,0)"
+    steps = []
+    for i in range(2, _MAX_TOKENS + 1):
+        steps.append(f"""
+        v{i} AS (
+          SELECT p.id, p.n, tg.tid, tg.tname,
+                 p.score + COALESCE(tr.w, 0) + COALESCE(sf.s, 0) AS score,
+                 p.path || ' ' || tg.tname AS path
+          FROM v{i - 1} p
+          CROSS JOIN tg
+          LEFT JOIN tr ON tr.i = p.tid AND tr.j = tg.tid
+          LEFT JOIN sfs sf ON sf.id = p.id AND sf.i = {i} AND sf.tid = tg.tid
+          WHERE p.n >= {i}
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p.id, tg.tid
+            ORDER BY p.score + COALESCE(tr.w, 0) DESC, p.tid ASC) = 1
+        )""")
+    finals = "\n          UNION ALL ".join(
+        f"""SELECT id, path FROM v{i}
+              WHERE n = {i}
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY score DESC, tid ASC) = 1"""
+        for i in range(1, _MAX_TOKENS + 1)
+    )
+    return f"""
+        WITH {_scaffold_sql(w_vals)},
+        tr(i, j, w) AS (VALUES {tr_vals}),
+        v1 AS (
+          SELECT t.id, t.n, tg.tid, tg.tname,
+                 COALESCE(sf.s, 0) AS score,
+                 tg.tname AS path
+          FROM tk t
+          CROSS JOIN tg
+          LEFT JOIN sfs sf ON sf.id = t.id AND sf.i = 1 AND sf.tid = tg.tid
+        ),{",".join(steps)},
+        fin AS (
+          {finals}
+        )
+        SELECT a.id AS custkey, a.address, f.path AS tags_pred, a.tags_gold,
+               f.path = a.tags_gold AS is_correct
         FROM addr a JOIN fin f ON f.id = a.id
         ORDER BY custkey
     """

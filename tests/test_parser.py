@@ -10,8 +10,23 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from libpostal_spark.core import crf  # noqa: E402
 from libpostal_spark.core.perceptron import decode, fit  # noqa: E402
 from libpostal_spark.operators import parser as P  # noqa: E402
+
+
+def _holdout():
+    for k in range(0, 3000, 7):
+        yield P.render_address(
+            k % 3,
+            k % 9999 + 1,
+            P.ROADS[(k // 3) % len(P.ROADS)],
+            P.ROAD_KINDS[(k // 7) % len(P.ROAD_KINDS)],
+            k % 97 + 1,
+            P.CITIES[k % len(P.CITIES)],
+            (k * 7919) % 90000 + 10000,
+            P.COUNTRIES[(k // 11) % len(P.COUNTRIES)],
+        )
 
 
 def test_fit_deterministic():
@@ -40,18 +55,46 @@ def test_holdout_accuracy_exact():
     """Custkey-style generation (different number streams + unseen
     city/road/country combinations) decodes 100% — digit normalization
     plus the tag-history features generalize past the training grid."""
-    for k in range(0, 3000, 7):
-        toks, gold = P.render_address(
-            k % 3,
-            k % 9999 + 1,
-            P.ROADS[(k // 3) % len(P.ROADS)],
-            P.ROAD_KINDS[(k // 7) % len(P.ROAD_KINDS)],
-            k % 97 + 1,
-            P.CITIES[k % len(P.CITIES)],
-            (k * 7919) % 90000 + 10000,
-            P.COUNTRIES[(k // 11) % len(P.COUNTRIES)],
-        )
+    for toks, gold in _holdout():
         assert P.parse_tokens(toks) == gold, toks
+
+
+def test_crf_fit_deterministic_and_converges():
+    """CRF variant: two fits are bit-identical; the trained model
+    re-decodes every training sequence exactly and learns a genuinely
+    nonzero transition matrix (Viterbi has something to use)."""
+    ex = P.training_examples()
+    m1 = crf.fit(ex, P.TAGS, P.obs_features, iters=P.FIT_ITERS)
+    m2 = crf.fit(ex, P.TAGS, P.obs_features, iters=P.FIT_ITERS)
+    assert m1.export_state_rows() == m2.export_state_rows()
+    assert m1.export_trans_rows() == m2.export_trans_rows()
+    assert len(m1.export_trans_rows()) > 10
+    errs = sum(
+        crf.decode(toks, m1, P.obs_features) != tags for toks, tags in ex
+    )
+    assert errs == 0
+
+
+def test_crf_holdout_accuracy_exact():
+    m = P.get_address_crf()
+    for toks, gold in _holdout():
+        assert crf.decode(toks, m, P.obs_features) == gold, toks
+
+
+def test_crf_transitions_matter():
+    """With the transition matrix zeroed, position-wise argmax over the
+    observation features alone CANNOT separate the ambiguous digit
+    roles — some holdout sequence must fail. The full model decodes
+    them all (test above): the learned transitions are load-bearing,
+    which is the point of the CRF (crf.h:4-8)."""
+    import numpy as np
+
+    m = P.get_address_crf()
+    zeroed = crf.CRFModel(m.tags, m.state, np.zeros_like(m.trans))
+    assert any(
+        crf.decode(toks, zeroed, P.obs_features) != gold
+        for toks, gold in _holdout()
+    )
 
 
 def test_history_features_matter():
@@ -84,8 +127,9 @@ def test_distributed_matches_local(spark):
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-def test_twin_scale_free(sf_dir):
-    """The SQL twin replays the full greedy decode bit-exactly at two sf
+@pytest.mark.parametrize("model", ["greedy", "crf"])
+def test_twin_scale_free(sf_dir, model):
+    """Both SQL twins replay their full decode bit-exactly at two sf
     dirs without regeneration (weights are table-independent)."""
     con = duckdb.connect()
     try:
@@ -94,11 +138,15 @@ def test_twin_scale_free(sf_dir):
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        df = con.sql(P.twin_sql()).df()
+        sql = P.twin_sql() if model == "greedy" else P.crf_twin_sql()
+        df = con.sql(sql).df()
     finally:
         con.close()
     assert df["is_correct"].all()
+    if model == "greedy":
+        dec = lambda a: P.parse_tokens(a.split(" "))  # noqa: E731
+    else:
+        m = P.get_address_crf()
+        dec = lambda a: crf.decode(a.split(" "), m, P.obs_features)  # noqa: E731
     for _, r in df.iterrows():
-        assert r["tags_pred"] == " ".join(
-            P.parse_tokens(r["address"].split(" "))
-        )
+        assert r["tags_pred"] == " ".join(dec(r["address"]))
