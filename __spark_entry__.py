@@ -2608,7 +2608,9 @@ def _q_address_parse(spark, sf_dir):
     greedy averaged-perceptron sequence tagging with prev/prev2 tag
     history, integer-exact averaged weights (core/perceptron.py), offline
     deterministic training, distributed Arrow-batched prediction.
-    Addresses synthesized from customer ⋈ nation ⋈ region in 3 dialects
+    Addresses synthesized from customer ⋈ nation ⋈ region in 5 dialects
+    over an 8-label tag set (incl. state from lower(n_name) and the
+    three-token po_box)
     (digit tokens ambiguous between house_number/unit/postcode — only
     the tag-history features disambiguate); measured tagging accuracy on
     the table-derived holdout: 1.000 (operators/parser.py)."""

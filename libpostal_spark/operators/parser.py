@@ -27,7 +27,7 @@ engine:
   decode (unrolled per token position) with the weights as VALUES.
 
 Addresses are synthesized deterministically from the TPC-H-ish tables
-(customer ⋈ nation ⋈ region, both joins broadcast) in three dialects so
+(customer ⋈ nation ⋈ region, both joins broadcast) in five dialects so
 that digit tokens are genuinely ambiguous — house number, unit, and
 postcode are only separable from tag history and neighbor context,
 which is exactly what the reference's history features exist for:
@@ -35,9 +35,13 @@ which is exactly what the reference's history features exist for:
   dialect 0 (US):  "{hn} {road} {kind} {city} {postcode} {country}"
   dialect 1 (EU):  "{road} {kind} {hn} {city} {country}"
   dialect 2:       "{hn} {road} {kind} apt {unit} {city} {postcode} {country}"
+  dialect 3:       "{hn} {road} {kind} {city} {state} {postcode} {country}"
+  dialect 4:       "po box {bn} {city} {postcode} {country}"
 
-(country = lower(r_name); "middle east" is two tokens, both tagged
-country — multi-token labels as in the reference's span labels.)
+(country = lower(r_name), state = lower(n_name) — table values, not a
+lexicon; "middle east" is two tokens, both tagged country — multi-token
+labels as in the reference's span labels, likewise the three-token
+po_box.)
 """
 
 from __future__ import annotations
@@ -54,7 +58,11 @@ from libpostal_spark.core.perceptron import PerceptronModel, decode, fit
 
 # tag ids are list positions; ties in the argmax break toward the
 # smallest id (see core/perceptron.py) — keep this order stable.
-TAGS = ["house_number", "road", "unit", "city", "postcode", "country"]
+TAGS = [
+    "house_number", "road", "unit", "city", "postcode", "country",
+    "state", "po_box",
+]
+N_DIALECTS = 5
 
 CITIES = [
     "springfield", "fairview", "riverton", "kingsport", "maplewood",
@@ -111,7 +119,7 @@ def address_features(
 
 def render_address(
     dialect: int, hn: int, road: str, kind: str, unit: int, city: str,
-    pc: int, country: str,
+    pc: int, country: str, state: str = "",
 ) -> tuple[list[str], list[str]]:
     """(tokens, gold tags) for one address in the given dialect."""
     ctoks = country.split(" ")
@@ -126,19 +134,30 @@ def render_address(
             [road, kind, str(hn), city] + ctoks,
             ["road", "road", "house_number", "city"] + ctags,
         )
+    if dialect == 2:
+        return (
+            [str(hn), road, kind, "apt", str(unit), city, str(pc)] + ctoks,
+            ["house_number", "road", "road", "unit", "unit", "city",
+             "postcode"] + ctags,
+        )
+    if dialect == 3:
+        return (
+            [str(hn), road, kind, city, state, str(pc)] + ctoks,
+            ["house_number", "road", "road", "city", "state", "postcode"]
+            + ctags,
+        )
     return (
-        [str(hn), road, kind, "apt", str(unit), city, str(pc)] + ctoks,
-        ["house_number", "road", "road", "unit", "unit", "city", "postcode"]
-        + ctags,
+        ["po", "box", str(unit), city, str(pc)] + ctoks,
+        ["po_box", "po_box", "po_box", "city", "postcode"] + ctags,
     )
 
 
 def training_examples() -> list[tuple[list[str], list[str]]]:
-    """Fixed grid: every dialect × city × road (900 sequences), with
+    """Fixed grid: every dialect × city × road (1500 sequences), with
     kind/country/numbers cycled so every lexicon value appears in every
     dialect.  Pure function — no randomness, no table reads."""
     out = []
-    for d in range(3):
+    for d in range(N_DIALECTS):
         for ci, city in enumerate(CITIES):
             for ri, road in enumerate(ROADS):
                 k = ci * len(ROADS) + ri
@@ -151,6 +170,9 @@ def training_examples() -> list[tuple[list[str], list[str]]]:
                     city,
                     (k * 7919 + d) % 90000 + 10000,
                     COUNTRIES[(ci + ri) % len(COUNTRIES)],
+                    # the table's state values are lower(n_name) =
+                    # nation_<k>; cycle all 25 through the grid
+                    state=f"nation_{k % 25}",
                 ))
     return out
 
@@ -195,6 +217,7 @@ def synth_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").cast("long").alias("nk"),
         F.col("n_regionkey").cast("long").alias("rk"),
+        F.lower(F.col("n_name")).alias("state"),
     )
     reg = spark.read.parquet(f"{sf_dir}/region.parquet").select(
         F.col("r_regionkey").cast("long").alias("rk"),
@@ -209,7 +232,7 @@ def synth_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array(*[F.lit(v) for v in vals])
 
     k = F.col("custkey")
-    d = F.pmod(k, F.lit(3))
+    d = F.pmod(k, F.lit(N_DIALECTS))
     hn = (F.pmod(k, F.lit(9999)) + 1).cast("string")
     unit = (F.pmod(k, F.lit(97)) + 1).cast("string")
     pc = (F.pmod(k * 7919, F.lit(90000)) + 10000).cast("string")
@@ -217,21 +240,30 @@ def synth_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     road = F.element_at(arr(ROADS), (F.pmod(F.expr("custkey div 3"), F.lit(len(ROADS))) + 1).cast("int"))
     kind = F.element_at(arr(ROAD_KINDS), (F.pmod(F.expr("custkey div 7"), F.lit(len(ROAD_KINDS))) + 1).cast("int"))
     country = F.col("country")
+    state = F.col("state")
     ctags = F.regexp_replace(country, "[^ ]+", "country")
 
     address = (
         F.when(d == 0, F.concat_ws(" ", hn, road, kind, city, pc, country))
         .when(d == 1, F.concat_ws(" ", road, kind, hn, city, country))
-        .otherwise(F.concat_ws(
+        .when(d == 2, F.concat_ws(
             " ", hn, road, kind, F.lit("apt"), unit, city, pc, country))
+        .when(d == 3, F.concat_ws(
+            " ", hn, road, kind, city, state, pc, country))
+        .otherwise(F.concat_ws(
+            " ", F.lit("po box"), unit, city, pc, country))
     )
     tags_gold = (
         F.when(d == 0, F.concat(
             F.lit("house_number road road city postcode "), ctags))
         .when(d == 1, F.concat(
             F.lit("road road house_number city "), ctags))
-        .otherwise(F.concat(
+        .when(d == 2, F.concat(
             F.lit("house_number road road unit unit city postcode "), ctags))
+        .when(d == 3, F.concat(
+            F.lit("house_number road road city state postcode "), ctags))
+        .otherwise(F.concat(
+            F.lit("po_box po_box po_box city postcode "), ctags))
     )
     return df.select(
         "custkey",
@@ -296,20 +328,21 @@ def _scaffold_sql(w_vals: str) -> str:
         cust AS (
           SELECT CAST(c.c_custkey AS BIGINT) AS id,
                  CAST(c.c_nationkey AS BIGINT) AS nk,
+                 lower(n.n_name) AS state,
                  lower(r.r_name) AS country
           FROM customer c
           JOIN nation n ON c.c_nationkey = n.n_nationkey
           JOIN region r ON n.n_regionkey = r.r_regionkey
         ),
         parts AS (
-          SELECT id, id % 3 AS d,
+          SELECT id, id % {N_DIALECTS} AS d,
                  CAST(id % 9999 + 1 AS VARCHAR) AS hn,
                  CAST(id % 97 + 1 AS VARCHAR) AS un,
                  CAST((id * 7919) % 90000 + 10000 AS VARCHAR) AS pc,
                  ({_arr(CITIES)})[CAST(nk % {len(CITIES)} AS INT) + 1] AS city,
                  ({_arr(ROADS)})[CAST((id // 3) % {len(ROADS)} AS INT) + 1] AS ra,
                  ({_arr(ROAD_KINDS)})[CAST((id // 7) % {len(ROAD_KINDS)} AS INT) + 1] AS rb,
-                 country
+                 state, country
           FROM cust
         ),
         addr AS (
@@ -319,15 +352,23 @@ def _scaffold_sql(w_vals: str) -> str:
                        || ' ' || pc || ' ' || country
               WHEN 1 THEN ra || ' ' || rb || ' ' || hn || ' ' || city
                        || ' ' || country
-              ELSE hn || ' ' || ra || ' ' || rb || ' apt ' || un || ' '
-                       || city || ' ' || pc || ' ' || country
+              WHEN 2 THEN hn || ' ' || ra || ' ' || rb || ' apt ' || un
+                       || ' ' || city || ' ' || pc || ' ' || country
+              WHEN 3 THEN hn || ' ' || ra || ' ' || rb || ' ' || city
+                       || ' ' || state || ' ' || pc || ' ' || country
+              ELSE 'po box ' || un || ' ' || city || ' ' || pc
+                       || ' ' || country
             END AS address,
             CASE d
               WHEN 0 THEN 'house_number road road city postcode '
                        || regexp_replace(country, '[^ ]+', 'country', 'g')
               WHEN 1 THEN 'road road house_number city '
                        || regexp_replace(country, '[^ ]+', 'country', 'g')
-              ELSE 'house_number road road unit unit city postcode '
+              WHEN 2 THEN 'house_number road road unit unit city postcode '
+                       || regexp_replace(country, '[^ ]+', 'country', 'g')
+              WHEN 3 THEN 'house_number road road city state postcode '
+                       || regexp_replace(country, '[^ ]+', 'country', 'g')
+              ELSE 'po_box po_box po_box city postcode '
                        || regexp_replace(country, '[^ ]+', 'country', 'g')
             END AS tags_gold
           FROM parts

@@ -16,9 +16,9 @@ from libpostal_spark.operators import parser as P  # noqa: E402
 
 
 def _holdout():
-    for k in range(0, 3000, 7):
+    for k in range(0, 5000, 7):
         yield P.render_address(
-            k % 3,
+            k % P.N_DIALECTS,
             k % 9999 + 1,
             P.ROADS[(k // 3) % len(P.ROADS)],
             P.ROAD_KINDS[(k // 7) % len(P.ROAD_KINDS)],
@@ -26,6 +26,7 @@ def _holdout():
             P.CITIES[k % len(P.CITIES)],
             (k * 7919) % 90000 + 10000,
             P.COUNTRIES[(k // 11) % len(P.COUNTRIES)],
+            state=f"nation_{k % 25}",
         )
 
 
