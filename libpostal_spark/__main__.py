@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
         "analog) before tokenization",
     )
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--parse-address-col",
+        default=None,
+        metavar="COLUMN",
+        help="instead of the dedup pipeline, tag the given address column "
+        "with the sequence parser (the reference's address_parser_cli "
+        "analog) and write the input plus a tags_pred column",
+    )
+    p.add_argument(
+        "--parser-model",
+        default="greedy",
+        choices=["greedy", "crf"],
+        help="parser model type: greedy averaged perceptron (reference "
+        "default) or the Viterbi-decoded CRF",
+    )
     args = p.parse_args(argv)
 
     expansions: tuple = ()
@@ -100,6 +115,34 @@ def main(argv: list[str] | None = None) -> int:
         files = spark.read.table(args.input)
     else:
         files = spark.read.parquet(args.input)
+
+    if args.parse_address_col:
+        from .operators import parser as addr_parser
+
+        if args.parse_address_col not in files.columns:
+            p.error(
+                f"--parse-address-col: column {args.parse_address_col!r} "
+                f"not in input (has: {', '.join(files.columns)})"
+            )
+        parse = (
+            addr_parser.parse_addresses
+            if args.parser_model == "greedy"
+            else addr_parser.parse_addresses_crf
+        )
+        tagged = parse(files, address_col=args.parse_address_col)
+        if args.format == "iceberg":
+            tagged.writeTo(args.output).createOrReplace()
+        elif args.format == "table":
+            tagged.write.mode("overwrite").saveAsTable(args.output)
+        else:
+            tagged.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(dict(
+            mode="parse_addresses",
+            model=args.parser_model,
+            n_rows=tagged.count(),
+        )))
+        spark.stop()
+        return 0
 
     pipe = DedupPipeline(spark, cfg, checkpoint_root=args.checkpoint)
     res = pipe.run(files, collect_bucket_stats=True)

@@ -170,3 +170,47 @@ def test_cli_iceberg_requires_runtime_jar(tmp_path):
         "data_source_not_found" in blob or "failed to find" in blob
         or "classnotfound" in blob
     ), blob[-2000:]
+
+
+@pytest.mark.slow
+def test_cli_parse_addresses(tmp_path):
+    """--parse-address-col: the address_parser_cli analog — tags the
+    given column and writes input + tags_pred, for both model types."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "addrs.parquet")
+    addrs = [
+        "17 oak road fairview 90210 asia",
+        "maple street 4 springfield europe",
+        "po box 99 riverton 10001 middle east",
+    ]
+    golds = [
+        "house_number road road city postcode country",
+        "road road house_number city country",
+        "po_box po_box po_box city postcode country country",
+    ]
+    pq.write_table(pa.table({"rid": [1, 2, 3], "address": addrs}), inp)
+
+    for model in ("greedy", "crf"):
+        out = str(tmp_path / f"out_{model}")
+        s = _run_cli([
+            "--input", inp, "--output", out, "--master", "local[2]",
+            "--parse-address-col", "address", "--parser-model", model,
+        ])
+        assert s["mode"] == "parse_addresses" and s["n_rows"] == 3
+        rows = duckdb.sql(
+            f"SELECT address, tags_pred FROM read_parquet('{out}/*.parquet') "
+            "ORDER BY rid"
+        ).fetchall()
+        assert [r[1] for r in rows] == golds, (model, rows)
+
+    # a missing column is an argparse error naming the available columns
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "libpostal_spark", "--input", inp,
+         "--output", str(tmp_path / "x"), "--parse-address-col", "nope"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=420,
+    )
+    assert proc.returncode != 0 and "nope" in proc.stderr
