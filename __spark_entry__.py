@@ -2602,6 +2602,15 @@ def _address_parse_crf_sql() -> str:
     return P.crf_twin_sql()
 
 
+def _geo_sql(fn: str) -> str:
+    """DuckDB twins of the geo queries (operators/geo.py): identical
+    integer microdegree synthesis, cell quantization, 9-cell family
+    join, and planar distance gate — no table-derived literals."""
+    from libpostal_spark.operators import geo
+
+    return getattr(geo, fn)()
+
+
 def _q_address_parse(spark, sf_dir):
     """Address parser — the reference's headline subsystem
     (/root/reference/src/address_parser.c, averaged_perceptron_tagger.c):
@@ -2643,6 +2652,26 @@ def _q_address_parse_crf(spark, sf_dir):
         "tags_gold",
         (F.col("tags_pred") == F.col("tags_gold")).alias("is_correct"),
     )
+
+
+def _q_geohash_keys(spark, sf_dir):
+    """Geohash blocking keys (near_dupe.c:232-301 `with_latlon`,
+    src/geohash/geohash.c): precision-6 cells as integer quantization +
+    the base32 string via a 30-term JVM bit-interleave expression
+    (verified against published geohash vectors). operators/geo.py."""
+    from libpostal_spark.operators import geo
+
+    return geo.geohash_keys(spark, sf_dir)
+
+
+def _q_geo_candidate_pairs(spark, sf_dir):
+    """Geohash-NEIGHBORS candidate generation + integer planar distance
+    confirm — the reference's geo near-dupe semantic (a pair is found
+    iff cells differ by ≤1 per axis and dist² ≤ R2). One cell-key
+    shuffle; each pair emitted exactly once. operators/geo.py."""
+    from libpostal_spark.operators import geo
+
+    return geo.geo_candidate_pairs(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2692,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": _q_media_real_decode,
         "address_parse": _q_address_parse,
         "address_parse_crf": _q_address_parse_crf,
+        "geohash_keys": _q_geohash_keys,
+        "geo_candidate_pairs": _q_geo_candidate_pairs,
         "streaming_window_stats": _q_streaming_window_stats,
         "streaming_lsh_candidates": _q_streaming_lsh_candidates,
         "token_freq_topk": _q_token_freq_topk,
@@ -3152,6 +3183,9 @@ def oracle_sql() -> dict[str, str]:
         # the CRF variant: the Viterbi recurrence unrolled per token
         # position (state weights + transition matrix as VALUES)
         "address_parse_crf": _address_parse_crf_sql(),
+        # integer geohash lattice + base32 interleave replayed in SQL
+        "geohash_keys": _geo_sql("geohash_keys_sql"),
+        "geo_candidate_pairs": _geo_sql("geo_candidate_pairs_sql"),
         "token_jaccard_adjacent": """
             WITH toks AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,226 @@
+"""Geo blocking — the reference's geohash-neighbors candidate generator.
+
+`near_dupe_hashes` with `with_latlon` adds a geohash of the record's
+coordinates AND its 8 neighboring cells to the blocking-key set, so two
+places within ~cell distance land in a common bucket even when they sit
+on opposite sides of a cell boundary:
+/root/reference/src/near_dupe.c:232-301 (geohash + neighbors loop,
+GEOHASH_PRECISION 6), /root/reference/src/geohash/geohash.c (the encode:
+interleaved lon/lat bisection, base32).  Until now this repo covered the
+IDEA by analog (multi-key-family union); this module is the real thing,
+Spark-first and integer-exact:
+
+* coordinates are BIGINT microdegrees; the precision-6 geohash cell is a
+  pure integer quantization (15 bits per axis, 30 bits total — exactly
+  the cell lattice of a 6-character geohash), so Spark, numpy, and the
+  DuckDB twin compute bit-identical cells with `//` / `div` arithmetic;
+* the base32 geohash STRING is produced JVM-side as a fixed 30-term
+  bit-interleave expression + six element_at lookups — no UDF, fully
+  inside whole-stage codegen (verified against published geohash test
+  vectors, e.g. (57.64911, 10.40744) → u4pruy);
+* candidate generation = explode each point's 9-cell family (home + 8
+  neighbors) and hash-join families against home cells — ONE shuffle on
+  the cell key.  Each qualifying pair is found exactly once (the partner
+  home cell occurs once in a 9-cell family; the reverse direction is
+  cut by id1 < id2), so no distinct pass is needed;
+* confirm = integer squared distance in microdegrees (the deterministic
+  planar gate; at 100 TB the same bucket-count discipline as
+  operators/blocking.py applies — a dense cell degrades to the salted
+  path there, and the family explosion is a fixed ×9).
+
+Coordinates for the harness are synthesized deterministically from
+c_custkey alone (4-member clusters ~300 m wide scattered worldwide), so
+the operator, its oracle, and the tests are scale-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+BITS = 15                      # per axis; 2×15 = 30 bits = 6 base32 chars
+CELLS = 1 << BITS
+LON_SPAN = 360_000_000         # microdegrees
+LAT_SPAN = 180_000_000
+
+# synthetic-coordinate constants (shared verbatim with the SQL twins)
+CLUSTER_SIZE = 4
+LAT_STEP = 1_500               # member jitter, microdeg (3 steps < lat cell)
+LON_STEP = 2_900               # 3 steps < lon cell (10_986 µdeg)
+R2 = 96_000_000                # = max intra-cluster dist² (4500² + 8700²)
+
+
+def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, lat_u, lon_u) — integer microdegrees from c_custkey alone.
+    Clusters of CLUSTER_SIZE consecutive custkeys sit within one cell
+    span of each other (every intra-cluster pair is ≤1 cell apart per
+    axis, hence guaranteed discoverable by the neighbor blocking)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    k = F.col("id")
+    g = F.expr(f"id div {CLUSTER_SIZE}")
+    j = F.pmod(k, F.lit(CLUSTER_SIZE))
+    lat_u = (
+        F.lit(-55_000_000)
+        + F.pmod(g * 48_271, F.lit(110_000_000))
+        + j * LAT_STEP
+    )
+    lon_u = (
+        F.lit(-170_000_000)
+        + F.pmod(g * 69_621, F.lit(340_000_000))
+        + j * LON_STEP
+    )
+    return cust.select(
+        "id", lat_u.alias("lat_u"), lon_u.alias("lon_u")
+    )
+
+
+def cell_cols(lat_col: str = "lat_u", lon_col: str = "lon_u"):
+    """Quantized (x, y) cell columns of the precision-6 geohash lattice
+    from microdegree columns — nonnegative integer floor division,
+    identical in Spark (`div`), DuckDB (`//`), and Python."""
+    return (
+        F.expr(f"(({lon_col} + {LON_SPAN // 2}) * {CELLS}) div {LON_SPAN}"),
+        F.expr(f"(({lat_col} + {LAT_SPAN // 2}) * {CELLS}) div {LAT_SPAN}"),
+    )
+
+
+def geohash_col(x, y) -> F.Column:
+    """Base32 geohash string from cell columns: 30-term bit interleave
+    (lon bit = odd positions, per the geohash spec) + 6 alphabet
+    lookups.  Pure JVM column expressions — whole-stage codegen."""
+    v = F.lit(0).cast("long")
+    for k in range(BITS):
+        v = v + F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        v = v + F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k)
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftright(v, 25 - 5 * i).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(6)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, lat_u, lon_u, cell_x, cell_y, geohash) — the blocking-key
+    surface, geohash string included for reference parity."""
+    pts = synth_points(spark, sf_dir)
+    x, y = cell_cols()
+    pts = pts.select("id", "lat_u", "lon_u", x.alias("cell_x"), y.alias("cell_y"))
+    return pts.select(
+        "id", "lat_u", "lon_u", "cell_x", "cell_y",
+        geohash_col(F.col("cell_x"), F.col("cell_y")).alias("geohash"),
+    )
+
+
+def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-neighbor blocking + integer distance confirm.
+
+    Pair contract (the reference's near-dupe geo semantic): (a, b) is
+    emitted iff their cells differ by ≤1 on each axis AND the planar
+    microdegree distance² is ≤ R2.  One shuffle (the cell-key join);
+    each pair emitted exactly once — see module docstring.
+    """
+    pts = synth_points(spark, sf_dir)
+    x, y = cell_cols()
+    pts = pts.select("id", "lat_u", "lon_u", x.alias("x"), y.alias("y"))
+
+    fam = pts.select(
+        "id", "lat_u", "lon_u",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("x") + dx).alias("cx"),
+                    (F.col("y") + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("c"),
+    ).select("id", "lat_u", "lon_u", "c.cx", "c.cy")
+
+    b = pts.select(
+        F.col("id").alias("id2"),
+        F.col("lat_u").alias("lat2"),
+        F.col("lon_u").alias("lon2"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    )
+    d2 = (
+        (F.col("lat_u") - F.col("lat2")) * (F.col("lat_u") - F.col("lat2"))
+        + (F.col("lon_u") - F.col("lon2")) * (F.col("lon_u") - F.col("lon2"))
+    )
+    return (
+        fam.join(b, ["cx", "cy"])
+        .where(F.col("id") < F.col("id2"))
+        .select(
+            F.col("id").alias("id1"),
+            "id2",
+            d2.alias("d2"),
+        )
+        .where(F.col("d2") <= R2)
+    )
+
+
+# ----------------------------------------------------------- SQL twins
+
+_PTS_SQL = f"""
+        pts AS (
+          SELECT CAST(c_custkey AS BIGINT) AS id,
+                 -55000000 + ((CAST(c_custkey AS BIGINT) // {CLUSTER_SIZE})
+                              * 48271) % 110000000
+                           + (CAST(c_custkey AS BIGINT) % {CLUSTER_SIZE})
+                              * {LAT_STEP} AS lat_u,
+                 -170000000 + ((CAST(c_custkey AS BIGINT) // {CLUSTER_SIZE})
+                               * 69621) % 340000000
+                            + (CAST(c_custkey AS BIGINT) % {CLUSTER_SIZE})
+                               * {LON_STEP} AS lon_u
+          FROM customer
+        ),
+        cells AS (
+          SELECT id, lat_u, lon_u,
+                 ((lon_u + {LON_SPAN // 2}) * {CELLS}) // {LON_SPAN} AS x,
+                 ((lat_u + {LAT_SPAN // 2}) * {CELLS}) // {LAT_SPAN} AS y
+          FROM pts
+        )"""
+
+
+def geohash_keys_sql() -> str:
+    interleave = " + ".join(
+        f"(((x >> {k}) & 1) << {2 * k + 1}) + (((y >> {k}) & 1) << {2 * k})"
+        for k in range(BITS)
+    )
+    chars = " || ".join(
+        f"'{GEOHASH_B32}'[CAST((v >> {25 - 5 * i}) & 31 AS INT) + 1]"
+        for i in range(6)
+    )
+    return f"""
+        WITH {_PTS_SQL},
+        iv AS (SELECT id, lat_u, lon_u, x, y, {interleave} AS v FROM cells)
+        SELECT id, lat_u, lon_u, x AS cell_x, y AS cell_y,
+               {chars} AS geohash
+        FROM iv ORDER BY id
+    """
+
+
+def geo_candidate_pairs_sql() -> str:
+    return f"""
+        WITH {_PTS_SQL},
+        fam AS (
+          SELECT id, lat_u, lon_u, x + dx.d AS cx, y + dy.d AS cy
+          FROM cells, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+        )
+        SELECT a.id AS id1, b.id AS id2,
+               (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+        FROM fam a JOIN cells b ON a.cx = b.x AND a.cy = b.y
+        WHERE a.id < b.id
+          AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+            + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+        ORDER BY id1, id2
+    """
