@@ -2674,6 +2674,19 @@ def _q_geo_candidate_pairs(spark, sf_dir):
     return geo.geo_candidate_pairs(spark, sf_dir)
 
 
+def _q_place_dedup_clusters(spark, sf_dir):
+    """The reference's place-dedupe flow end-to-end (dedupe.c is_dupe
+    with lat/lon + place.c): geohash-neighbor blocking → expand-and-
+    intersect name confirm (integer 0.5-Jaccard over normalized token
+    sets, abbreviations folded, stopwords dropped — all JVM array
+    expressions) → connected components (operators/cluster.py reused).
+    Oracle = identical synthesis + blocking + gate, recursive-CTE
+    closure. operators/geo.py."""
+    from libpostal_spark.operators import geo
+
+    return geo.place_dedup_clusters(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": _q_canonicalize,
@@ -2723,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "address_parse_crf": _q_address_parse_crf,
         "geohash_keys": _q_geohash_keys,
         "geo_candidate_pairs": _q_geo_candidate_pairs,
+        "place_dedup_clusters": _q_place_dedup_clusters,
         "streaming_window_stats": _q_streaming_window_stats,
         "streaming_lsh_candidates": _q_streaming_lsh_candidates,
         "token_freq_topk": _q_token_freq_topk,
@@ -3186,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         # integer geohash lattice + base32 interleave replayed in SQL
         "geohash_keys": _geo_sql("geohash_keys_sql"),
         "geo_candidate_pairs": _geo_sql("geo_candidate_pairs_sql"),
+        "place_dedup_clusters": _geo_sql("place_dedup_clusters_sql"),
         "token_jaccard_adjacent": """
             WITH toks AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -167,6 +167,219 @@ def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- place dedupe
+
+# venue-name lexicons (fixed; mirrored in the SQL twin)
+PLACE_COLORS = [
+    "red", "blue", "green", "golden", "silver", "royal", "old", "new",
+]
+PLACE_ROADS = [
+    "oak", "maple", "elm", "cedar", "pine", "birch",
+    "willow", "aspen", "chestnut", "sycamore", "poplar", "walnut",
+]
+PLACE_KINDS = ["street", "road", "avenue", "lane"]
+PLACE_ABBREV = {"street": "st", "road": "rd", "avenue": "ave", "lane": "ln"}
+
+
+def synth_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, name, lat_u, lon_u): each CLUSTER_SIZE group is one venue in
+    four of the reference's classic name-variant forms — exact, kind
+    abbreviated ('street'→'st'), stopword-prefixed ('the …'), kind
+    dropped — at near-identical coordinates.  Different groups may reuse
+    the same base name (the lexicon wraps): the geo blocking, not the
+    name, is what keeps them apart — the reference's reason for
+    `with_latlon` (near_dupe.c:232)."""
+    pts = synth_points(spark, sf_dir)
+    g = F.expr(f"id div {CLUSTER_SIZE}")
+    j = F.pmod(F.col("id"), F.lit(CLUSTER_SIZE))
+
+    def arr(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    color = F.element_at(
+        arr(PLACE_COLORS), (F.pmod(g, F.lit(len(PLACE_COLORS))) + 1).cast("int"))
+    road = F.element_at(
+        arr(PLACE_ROADS),
+        (F.pmod(F.expr(f"(id div {CLUSTER_SIZE}) div {len(PLACE_COLORS)}"),
+                F.lit(len(PLACE_ROADS))) + 1).cast("int"))
+    kind = F.element_at(
+        arr(PLACE_KINDS), (F.pmod(g, F.lit(len(PLACE_KINDS))) + 1).cast("int"))
+    kind_abbr = F.element_at(
+        arr([PLACE_ABBREV[k] for k in PLACE_KINDS]),
+        (F.pmod(g, F.lit(len(PLACE_KINDS))) + 1).cast("int"))
+    name = (
+        F.when(j == 0, F.concat_ws(" ", color, road, kind))
+        .when(j == 1, F.concat_ws(" ", color, road, kind_abbr))
+        .when(j == 2, F.concat_ws(" ", F.lit("the"), color, road, kind))
+        .otherwise(F.concat_ws(" ", color, road))
+    )
+    return pts.select("id", name.alias("name"), "lat_u", "lon_u")
+
+
+def _name_set_col(name_col):
+    """Normalized token set: abbreviations folded to their full form,
+    the stopword dropped, sorted distinct — expand-then-compare in
+    miniature (the reference's expansions_intersect semantic), entirely
+    JVM array expressions."""
+    toks = F.split(name_col, " ")
+    folded = F.transform(
+        toks,
+        lambda t: (
+            F.when(t == "st", F.lit("street"))
+            .when(t == "rd", F.lit("road"))
+            .when(t == "ave", F.lit("avenue"))
+            .when(t == "ln", F.lit("lane"))
+            .otherwise(t)
+        ),
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(folded, lambda t: t != "the"))
+    )
+
+
+def place_dedup_clusters(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 100_000
+) -> DataFrame:
+    """The reference's place-dedupe flow end-to-end
+    (/root/reference/src/dedupe.c `is_dupe` with lat/lon +
+    /root/reference/src/place.c): geohash-neighbor blocking generates
+    candidates, an expand-and-intersect name rule confirms
+    (2·|∩| ≥ |∪| over normalized token sets — the 0.5-Jaccard gate as
+    pure integer arithmetic), connected components assign one canonical
+    id per venue.  Reuses operators/cluster.py's CC (driver union-find
+    below the edge bound, large/small-star above) and the geo cell join
+    — at scale this is the same one-shuffle blocking + tiny-edge-set
+    clustering shape as the flagship text pipeline.
+    """
+    from libpostal_spark.operators import cluster as C
+
+    places = synth_places(spark, sf_dir)
+    x, y = cell_cols()
+    pl = places.select(
+        "id", "lat_u", "lon_u",
+        x.alias("x"), y.alias("y"),
+        _name_set_col(F.col("name")).alias("nset"),
+    )
+    fam = pl.select(
+        "id", "lat_u", "lon_u", "nset",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("x") + dx).alias("cx"),
+                    (F.col("y") + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("c"),
+    ).select("id", "lat_u", "lon_u", "nset", "c.cx", "c.cy")
+    b = pl.select(
+        F.col("id").alias("id2"),
+        F.col("lat_u").alias("lat2"),
+        F.col("lon_u").alias("lon2"),
+        F.col("nset").alias("nset2"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    )
+    d2 = (
+        (F.col("lat_u") - F.col("lat2")) * (F.col("lat_u") - F.col("lat2"))
+        + (F.col("lon_u") - F.col("lon2")) * (F.col("lon_u") - F.col("lon2"))
+    )
+    edges = (
+        fam.join(b, ["cx", "cy"])
+        .where(F.col("id") < F.col("id2"))
+        .where(d2 <= R2)
+        .where(
+            F.size(F.array_intersect("nset", "nset2")) * 2
+            >= F.size(F.array_union("nset", "nset2"))
+        )
+        .select(F.col("id").alias("fid1"), F.col("id2").alias("fid2"))
+    )
+    labels = C.connected_components_auto(
+        edges, n_edges=None, driver_max_edges=driver_max_edges
+    )
+    out = C.label_universe(
+        labels, places.select(F.col("id").alias("fid"))
+    )
+    return out.select(
+        F.col("fid").alias("place_id"),
+        "component",
+        (F.col("fid") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def place_dedup_clusters_sql() -> str:
+    """DuckDB twin: identical synthesis + blocking + integer name gate,
+    exhaustive recursive-CTE closure for the components (the same
+    replay pattern as the embedding-cluster oracle)."""
+    colors = ",".join(f"'{c}'" for c in PLACE_COLORS)
+    roads = ",".join(f"'{r}'" for r in PLACE_ROADS)
+    kinds = ",".join(f"'{k}'" for k in PLACE_KINDS)
+    abbrs = ",".join(f"'{PLACE_ABBREV[k]}'" for k in PLACE_KINDS)
+    return f"""
+        WITH RECURSIVE {_PTS_SQL},
+        named AS (
+          SELECT c.id, c.lat_u, c.lon_u, c.x, c.y,
+            CASE c.id % {CLUSTER_SIZE}
+              WHEN 0 THEN col || ' ' || rd || ' ' || kd
+              WHEN 1 THEN col || ' ' || rd || ' ' || ka
+              WHEN 2 THEN 'the ' || col || ' ' || rd || ' ' || kd
+              ELSE col || ' ' || rd
+            END AS name
+          FROM (
+            SELECT id, lat_u, lon_u, x, y,
+              ([{colors}])[CAST((id // {CLUSTER_SIZE})
+                  % {len(PLACE_COLORS)} AS INT) + 1] AS col,
+              ([{roads}])[CAST(((id // {CLUSTER_SIZE})
+                  // {len(PLACE_COLORS)}) % {len(PLACE_ROADS)} AS INT) + 1] AS rd,
+              ([{kinds}])[CAST((id // {CLUSTER_SIZE})
+                  % {len(PLACE_KINDS)} AS INT) + 1] AS kd,
+              ([{abbrs}])[CAST((id // {CLUSTER_SIZE})
+                  % {len(PLACE_KINDS)} AS INT) + 1] AS ka
+            FROM cells
+          ) c
+        ),
+        nsets AS (
+          SELECT id, lat_u, lon_u, x, y,
+            list_sort(list_distinct(list_filter(
+              list_transform(string_split(name, ' '),
+                t -> CASE t WHEN 'st' THEN 'street'
+                            WHEN 'rd' THEN 'road'
+                            WHEN 'ave' THEN 'avenue'
+                            WHEN 'ln' THEN 'lane'
+                            ELSE t END),
+              t -> t != 'the'))) AS nset
+          FROM named
+        ),
+        fam AS (
+          SELECT id, lat_u, lon_u, nset, x + dx.d AS cx, y + dy.d AS cy
+          FROM nsets, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+        ),
+        edges AS (
+          SELECT a.id AS u, b.id AS w
+          FROM fam a JOIN nsets b ON a.cx = b.x AND a.cy = b.y
+          WHERE a.id < b.id
+            AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+              + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+            AND 2 * len(list_intersect(a.nset, b.nset))
+                >= len(list_distinct(a.nset || b.nset))
+        ),
+        sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+        reach AS (
+          SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT r.src, s.w FROM reach r JOIN sym s ON s.u = r.node
+        ),
+        comp AS (SELECT node AS id, min(src) AS component
+                 FROM reach GROUP BY node)
+        SELECT p.id AS place_id,
+               coalesce(c.component, p.id) AS component,
+               (p.id = coalesce(c.component, p.id)) AS is_canonical
+        FROM pts p LEFT JOIN comp c USING (id)
+        ORDER BY place_id
+    """
+
+
 # ----------------------------------------------------------- SQL twins
 
 _PTS_SQL = f"""

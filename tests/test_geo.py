@@ -132,3 +132,62 @@ def test_pair_plan_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_place_variants_confirmed():
+    """The four venue name variants all pass the expand-and-intersect
+    gate against each other; an unrelated name does not."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # scalar mirror of _name_set_col
+    fold = {"st": "street", "rd": "road", "ave": "avenue", "ln": "lane"}
+
+    def nset(name):
+        return sorted({fold.get(t, t) for t in name.split() if t != "the"})
+
+    def gate(a, b):
+        sa, sb = set(nset(a)), set(nset(b))
+        return 2 * len(sa & sb) >= len(sa | sb)
+
+    variants = ["red oak street", "red oak st", "the red oak street",
+                "red oak"]
+    for a in variants:
+        for b in variants:
+            assert gate(a, b), (a, b)
+    assert not gate("red oak street", "blue elm lane")
+
+
+def test_place_dedup_clusters_groups(spark):
+    """Each CLUSTER_SIZE custkey group collapses to ONE component with
+    the min id canonical; group count matches exactly."""
+    sf = "/root/testdata/sf0.001"
+    pdf = geo.place_dedup_clusters(spark, sf).toPandas()
+    assert len(pdf) == 150
+    by_group = pdf.assign(g=pdf["place_id"] // geo.CLUSTER_SIZE)
+    for g, grp in by_group.groupby("g"):
+        comps = set(grp["component"])
+        assert comps == {g * geo.CLUSTER_SIZE}, (g, comps)
+    # 37 full groups + 1 partial (ids 148-149) = 38 components
+    n_groups = -(-150 // geo.CLUSTER_SIZE)
+    assert int(pdf["is_canonical"].sum()) == n_groups
+    assert pdf["component"].nunique() == n_groups
+
+
+def test_place_twin_scale_free(spark):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        try:
+            con.sql(
+                "CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/customer.parquet')"
+            )
+            sdf = geo.place_dedup_clusters(spark, sf_dir).toPandas()
+            odf = con.sql(geo.place_dedup_clusters_sql()).df()
+        finally:
+            con.close()
+        a = sdf.reindex(sorted(sdf.columns), axis=1).astype(str)
+        b = odf.reindex(sorted(odf.columns), axis=1).astype(str)
+        a = a.sort_values(list(a.columns), ignore_index=True)
+        b = b.sort_values(list(b.columns), ignore_index=True)
+        assert a.equals(b), sf_dir
