@@ -278,6 +278,10 @@ _TRANSLIT_EXT_SUFFIXES = [
     "كَتَبَ غضب",
     "にほんご すし",
     "カタカナ ラーメン",
+    "서울 호텔",
+    "부산 김치",
+    "北京 上海",
+    "中国 人民",
 ]
 # hand-derived fold map for the suffix alphabet (core/canonicalize.py
 # _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD entries actually exercised above).
@@ -289,6 +293,14 @@ _TRANSLIT_EXT_MULTI = [
     ("に", "ni"), ("ほ", "ho"), ("ご", "go"), ("す", "su"), ("し", "shi"),
     ("カ", "ka"), ("タ", "ta"), ("ナ", "na"), ("ラ", "ra"), ("メ", "me"),
     ("ー", ""),
+    # Hangul syllables of the injected suffixes, each hand-decomposed by
+    # the jamo arithmetic (syllable = 0xAC00 + (i*21 + m)*28 + f) — an
+    # independent derivation of core/canonicalize._hangul_fold
+    ("서", "seo"), ("울", "ul"), ("호", "ho"), ("텔", "tel"),
+    ("부", "bu"), ("산", "san"), ("김", "gim"), ("치", "chi"),
+    # Han pinyin for the injected hanzi
+    ("北", "bei"), ("京", "jing"), ("上", "shang"), ("海", "hai"),
+    ("中", "zhong"), ("国", "guo"), ("人", "ren"), ("民", "min"),
 ]
 _TRANSLIT_EXT_ONE = [
     ("م", "m"), ("ر", "r"), ("ح", "h"), ("ب", "b"), ("ا", "a"), ("ل", "l"),
@@ -304,9 +316,11 @@ _TRANSLIT_EXT_ONE = [
 
 def _q_canonicalize_translit_ext(spark, sf_dir):
     """Canonicalization with transliteration over NON-EUROPEAN scripts:
-    Arabic + Hebrew + Kana romanization fold tables (core/canonicalize.py
-    _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD — the per-script increment toward
-    the reference's CLDR transliterator coverage,
+    Arabic + Hebrew + Kana + Hangul + Han romanization
+    (core/canonicalize.py _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD,
+    _hangul_fold — ALL 11,172 syllables generated from the jamo
+    arithmetic — and the frequent-hanzi _HAN_FOLD; the per-script
+    increment toward the reference's CLDR transliterator coverage,
     /root/reference/src/transliterate.c:669)."""
     canon_udf = make_canonicalize_udf(transliterate=True)
     arr = F.array(*[F.lit(s) for s in _TRANSLIT_EXT_SUFFIXES])

@@ -152,9 +152,65 @@ _KANA_FOLD = {
     **{chr(ord(k) + 0x60): v for k, v in _KANA_BASE.items()},  # katakana
     "ー": "",                       # long-vowel mark (katakana block)
 }
+# Hangul → Latin (Revised-Romanization jamo values, context-free codas):
+# every precomposed syllable U+AC00-U+D7A3 decomposes ARITHMETICALLY into
+# (initial, medial, final) — syllable = 0xAC00 + (i·21 + m)·28 + f — so the
+# full 11,172-entry fold table is generated, not hand-written. Codas use
+# the neutralized pronunciation values (ㄱ/ㄲ/ㅋ→k, ㄷ/ㅅ/ㅆ/ㅈ/ㅊ/ㅌ/ㅎ→t,
+# ㅂ/ㅍ→p, clusters to their surviving consonant) — the standard lossy,
+# context-free trade of the other script tables. 서울→seoul, 한국→hanguk,
+# 부산→busan, 닭→dak.
+_HANGUL_INITIALS = [
+    "g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss", "", "j",
+    "jj", "ch", "k", "t", "p", "h",
+]
+_HANGUL_MEDIALS = [
+    "a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa", "wae",
+    "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i",
+]
+_HANGUL_FINALS = [
+    "", "k", "k", "k", "n", "n", "n", "t", "l", "k", "m", "l", "l", "l",
+    "p", "l", "m", "p", "p", "t", "t", "ng", "t", "t", "k", "t", "p", "t",
+]
+
+
+def _hangul_fold() -> dict:
+    out = {}
+    for code in range(0xAC00, 0xD7A4):
+        s = code - 0xAC00
+        i, rem = divmod(s, 21 * 28)
+        m, f = divmod(rem, 28)
+        out[chr(code)] = (
+            _HANGUL_INITIALS[i] + _HANGUL_MEDIALS[m] + _HANGUL_FINALS[f]
+        )
+    return out
+
+
+# Han → pinyin for the most frequent address/name-relevant hanzi with a
+# single common reading (tone marks dropped). A full UniHan readings table
+# is DATA, not design — this is the hand-curated head of it, the same
+# scope trade as the reference shipping CLDR's rule files for the scripts
+# it covers (/root/reference/src/transliterate.c:669). Unlisted hanzi pass
+# through (honest partial coverage).
+_HAN_FOLD = {
+    "一": "yi", "二": "er", "三": "san", "四": "si", "五": "wu",
+    "六": "liu", "七": "qi", "八": "ba", "九": "jiu", "十": "shi",
+    "人": "ren", "民": "min", "大": "da", "小": "xiao", "中": "zhong",
+    "国": "guo", "上": "shang", "下": "xia", "东": "dong", "南": "nan",
+    "西": "xi", "北": "bei", "京": "jing", "海": "hai", "山": "shan",
+    "水": "shui", "火": "huo", "日": "ri", "月": "yue", "年": "nian",
+    "天": "tian", "地": "di", "路": "lu", "街": "jie", "市": "shi",
+    "城": "cheng", "村": "cun", "区": "qu", "省": "sheng", "县": "xian",
+    "镇": "zhen", "门": "men", "口": "kou", "河": "he", "江": "jiang",
+    "湖": "hu", "广": "guang", "州": "zhou", "港": "gang", "台": "tai",
+    "湾": "wan", "花": "hua", "园": "yuan", "桥": "qiao", "公": "gong",
+    "学": "xue", "好": "hao", "王": "wang", "李": "li", "张": "zhang",
+    "刘": "liu", "陈": "chen", "林": "lin", "金": "jin",
+}
+
 _FOLD_TRANS = str.maketrans(
     {**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD, **_ARABIC_FOLD,
-     **_HEBREW_FOLD, **_KANA_FOLD}
+     **_HEBREW_FOLD, **_KANA_FOLD, **_hangul_fold(), **_HAN_FOLD}
 )
 
 

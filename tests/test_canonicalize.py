@@ -182,3 +182,22 @@ def test_transliteration_merges_accent_variants():
         canonicalize_one("gétConfigValué", transliterate=True)
     # and the default (off) keeps them distinct
     assert canonicalize_one("getConfigValue") != canonicalize_one("gétConfigValué")
+
+
+def test_hangul_han_transliteration():
+    """Round-6 scripts 7-8: Hangul RR romanization is generated from the
+    jamo arithmetic for every precomposed syllable; Han folds the curated
+    frequent-hanzi pinyin head (unlisted hanzi pass through honestly)."""
+    from libpostal_spark.core.canonicalize import latin_ascii_fold_one as f
+
+    assert f("서울") == "seoul"
+    assert f("한국") == "hanguk"
+    assert f("부산") == "busan"
+    assert f("닭") == "dak"          # coda cluster neutralized
+    assert f("강남") == "gangnam"
+    assert f("평양") == "pyeongyang"
+    assert f("北京") == "beijing"
+    assert f("上海") == "shanghai"
+    assert f("中国") == "zhongguo"
+    # uncovered hanzi pass through unchanged (no silent mangling)
+    assert f("龐") == "龐"
