@@ -137,9 +137,6 @@ def test_pair_plan_single_shuffle(spark):
 def test_place_variants_confirmed():
     """The four venue name variants all pass the expand-and-intersect
     gate against each other; an unrelated name does not."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
     # scalar mirror of _name_set_col
     fold = {"st": "street", "rd": "road", "ave": "avenue", "ln": "lane"}
 
