@@ -135,7 +135,9 @@ def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[
                 F.struct(
-                    (F.col("x") + dx).alias("cx"),
+                    # longitude neighbors wrap across the antimeridian
+                    # (geohash cells are cyclic in x, clamped in y)
+                    F.pmod(F.col("x") + dx, F.lit(CELLS)).alias("cx"),
                     (F.col("y") + dy).alias("cy"),
                 )
                 for dx in (-1, 0, 1)
@@ -265,7 +267,9 @@ def place_dedup_clusters(
         F.explode(
             F.array(*[
                 F.struct(
-                    (F.col("x") + dx).alias("cx"),
+                    # longitude neighbors wrap across the antimeridian
+                    # (geohash cells are cyclic in x, clamped in y)
+                    F.pmod(F.col("x") + dx, F.lit(CELLS)).alias("cx"),
                     (F.col("y") + dy).alias("cy"),
                 )
                 for dx in (-1, 0, 1)
@@ -352,7 +356,7 @@ def place_dedup_clusters_sql() -> str:
           FROM named
         ),
         fam AS (
-          SELECT id, lat_u, lon_u, nset, x + dx.d AS cx, y + dy.d AS cy
+          SELECT id, lat_u, lon_u, nset, (x + dx.d + 32768) % 32768 AS cx, y + dy.d AS cy
           FROM nsets, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
         ),
         edges AS (
@@ -425,7 +429,7 @@ def geo_candidate_pairs_sql() -> str:
     return f"""
         WITH {_PTS_SQL},
         fam AS (
-          SELECT id, lat_u, lon_u, x + dx.d AS cx, y + dy.d AS cy
+          SELECT id, lat_u, lon_u, (x + dx.d + 32768) % 32768 AS cx, y + dy.d AS cy
           FROM cells, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
         )
         SELECT a.id AS id1, b.id AS id2,
