@@ -299,9 +299,15 @@ def place_dedup_clusters(
         )
         .select(F.col("id").alias("fid1"), F.col("id2").alias("fid2"))
     )
-    labels = C.connected_components_auto(
-        edges, n_edges=None, driver_max_edges=driver_max_edges
-    )
+    # route with ONE action: limit(max+1).collect() both counts and
+    # fetches the edge list when it fits the driver budget (the
+    # pipeline.py merged-collect pattern) — no separate count() job,
+    # no double edge computation
+    edge_rows = edges.limit(driver_max_edges + 1).collect()
+    if len(edge_rows) <= driver_max_edges:
+        labels = C.union_find_rows(edge_rows, spark)
+    else:
+        labels = C.connected_components(edges)
     out = C.label_universe(
         labels, places.select(F.col("id").alias("fid"))
     )
