@@ -266,7 +266,7 @@ def _translit_sql() -> str:
 # combining marks (fatha U+064E, dagesh U+05BC) that must ride the
 # NFD+strip pass, Arabic-Indic digits that must fold to ASCII digits, the
 # ع/ע → '' deletion folds, and the katakana long-vowel-mark drop. Both
-# engines append the same suffix by doc_id % 10.
+# engines append the same suffix by doc_id % len(_TRANSLIT_EXT_SUFFIXES).
 _TRANSLIT_EXT_SUFFIXES = [
     "مرحبا بالعالم",
     "خبز وشاي",

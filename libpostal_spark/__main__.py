@@ -129,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.parser_model == "greedy"
             else addr_parser.parse_addresses_crf
         )
-        tagged = parse(files, address_col=args.parse_address_col)
+        # persist: the write and the row count would otherwise each run
+        # the full decode pass
+        tagged = parse(files, address_col=args.parse_address_col).persist()
         if args.format == "iceberg":
             tagged.writeTo(args.output).createOrReplace()
         elif args.format == "table":

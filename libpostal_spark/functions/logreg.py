@@ -313,7 +313,10 @@ def fit_spark(
     return LogRegModel(vocab, classes, W_int, b_int)
 
 
-def predict_spark(docs, model: LogRegModel, id_col: str = "doc_id"):
+def predict_spark(
+    docs, model: LogRegModel, id_col: str = "doc_id",
+    text_col: str = "text",
+):
     """One distributed JVM-side prediction pass: explode trigrams, cap the
     per-(doc, vocab-trigram) counts, fixed-point-normalize per doc
     (``(xf * 2^XNORM_BITS) DIV s``), broadcast-join the (tri, lang, w)
@@ -323,6 +326,10 @@ def predict_spark(docs, model: LogRegModel, id_col: str = "doc_id"):
     is whole-stage-codegen column arithmetic — no Python in prediction."""
     from pyspark.sql import functions as F
 
+    # normalize the text column name once (fit_spark parameterizes
+    # text_col too; a hardcoded 'text' below would break that pairing)
+    if text_col != "text":
+        docs = docs.select(F.col(id_col), F.col(text_col).alias("text"))
     spark = docs.sparkSession
     k, c = model.W_int.shape
     w_rows = [

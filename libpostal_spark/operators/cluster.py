@@ -199,8 +199,12 @@ def union_find_rows(rows, spark) -> DataFrame:
     )
     # Arrow-path createDataFrame (pandas input): one zero-copy batch instead
     # of the row-reflection local-relation path — measurably cheaper driver
-    # time on every pipeline run that routes CC to the driver
-    return spark.createDataFrame(out, schema="fid string, component string")
+    # time on every pipeline run that routes CC to the driver. The id type
+    # follows the caller's rows (string fids from the pipeline, long ids
+    # from the geo/place callers) — a hardcoded string schema would throw
+    # the Arrow path back to row reflection for integer ids.
+    idt = "string" if (not nodes or isinstance(next(iter(nodes)), str)) else "long"
+    return spark.createDataFrame(out, schema=f"fid {idt}, component {idt}")
 
 
 def connected_components_auto(

@@ -81,9 +81,18 @@ def cell_cols(lat_col: str = "lat_u", lon_col: str = "lon_u"):
     """Quantized (x, y) cell columns of the precision-6 geohash lattice
     from microdegree columns — nonnegative integer floor division,
     identical in Spark (`div`), DuckDB (`//`), and Python."""
+    # domain edges: lon = +180° is the same meridian as -180° (wrap to
+    # cell 0); lat = +90° is the last row (clamp to CELLS-1) — without
+    # these, the exact edge values index one past the 15-bit lattice
     return (
-        F.expr(f"(({lon_col} + {LON_SPAN // 2}) * {CELLS}) div {LON_SPAN}"),
-        F.expr(f"(({lat_col} + {LAT_SPAN // 2}) * {CELLS}) div {LAT_SPAN}"),
+        F.expr(
+            f"pmod((({lon_col} + {LON_SPAN // 2}) * {CELLS})"
+            f" div {LON_SPAN}, {CELLS})"
+        ),
+        F.expr(
+            f"least((({lat_col} + {LAT_SPAN // 2}) * {CELLS})"
+            f" div {LAT_SPAN}, {CELLS - 1})"
+        ),
     )
 
 
@@ -119,16 +128,23 @@ def geohash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geohash-neighbor blocking + integer distance confirm.
+    """Geohash-neighbor blocking + integer distance confirm over the
+    synthetic corpus — see candidate_pairs_from_points for the contract."""
+    return candidate_pairs_from_points(synth_points(spark, sf_dir))
+
+
+def candidate_pairs_from_points(points: DataFrame) -> DataFrame:
+    """Geohash-neighbor blocking + integer distance confirm over any
+    (id, lat_u, lon_u) table.
 
     Pair contract (the reference's near-dupe geo semantic): (a, b) is
-    emitted iff their cells differ by ≤1 on each axis AND the planar
+    emitted iff their cells are neighbors on each axis (longitude
+    cyclic across the antimeridian) AND the cyclic-longitude planar
     microdegree distance² is ≤ R2.  One shuffle (the cell-key join);
     each pair emitted exactly once — see module docstring.
     """
-    pts = synth_points(spark, sf_dir)
     x, y = cell_cols()
-    pts = pts.select("id", "lat_u", "lon_u", x.alias("x"), y.alias("y"))
+    pts = points.select("id", "lat_u", "lon_u", x.alias("x"), y.alias("y"))
 
     fam = pts.select(
         "id", "lat_u", "lon_u",
@@ -153,10 +169,11 @@ def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("cx"),
         F.col("y").alias("cy"),
     )
-    d2 = (
-        (F.col("lat_u") - F.col("lat2")) * (F.col("lat_u") - F.col("lat2"))
-        + (F.col("lon_u") - F.col("lon2")) * (F.col("lon_u") - F.col("lon2"))
-    )
+    dlat = F.col("lat_u") - F.col("lat2")
+    dlon_abs = F.abs(F.col("lon_u") - F.col("lon2"))
+    # cyclic longitude, matching the wrapped blocking cells
+    dlon = F.least(dlon_abs, F.lit(LON_SPAN) - dlon_abs)
+    d2 = dlat * dlat + dlon * dlon
     return (
         fam.join(b, ["cx", "cy"])
         .where(F.col("id") < F.col("id2"))
@@ -285,10 +302,11 @@ def place_dedup_clusters(
         F.col("x").alias("cx"),
         F.col("y").alias("cy"),
     )
-    d2 = (
-        (F.col("lat_u") - F.col("lat2")) * (F.col("lat_u") - F.col("lat2"))
-        + (F.col("lon_u") - F.col("lon2")) * (F.col("lon_u") - F.col("lon2"))
-    )
+    dlat = F.col("lat_u") - F.col("lat2")
+    dlon_abs = F.abs(F.col("lon_u") - F.col("lon2"))
+    # cyclic longitude, matching the wrapped blocking cells
+    dlon = F.least(dlon_abs, F.lit(LON_SPAN) - dlon_abs)
+    d2 = dlat * dlat + dlon * dlon
     edges = (
         fam.join(b, ["cx", "cy"])
         .where(F.col("id") < F.col("id2"))
@@ -370,7 +388,10 @@ def place_dedup_clusters_sql() -> str:
           FROM fam a JOIN nsets b ON a.cx = b.x AND a.cy = b.y
           WHERE a.id < b.id
             AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-              + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+              + LEAST(abs(a.lon_u - b.lon_u),
+                      {LON_SPAN} - abs(a.lon_u - b.lon_u))
+              * LEAST(abs(a.lon_u - b.lon_u),
+                      {LON_SPAN} - abs(a.lon_u - b.lon_u)) <= {R2}
             AND 2 * len(list_intersect(a.nset, b.nset))
                 >= len(list_distinct(a.nset || b.nset))
         ),
@@ -407,8 +428,10 @@ _PTS_SQL = f"""
         ),
         cells AS (
           SELECT id, lat_u, lon_u,
-                 ((lon_u + {LON_SPAN // 2}) * {CELLS}) // {LON_SPAN} AS x,
-                 ((lat_u + {LAT_SPAN // 2}) * {CELLS}) // {LAT_SPAN} AS y
+                 (((lon_u + {LON_SPAN // 2}) * {CELLS}) // {LON_SPAN})
+                   % {CELLS} AS x,
+                 LEAST(((lat_u + {LAT_SPAN // 2}) * {CELLS}) // {LAT_SPAN},
+                       {CELLS - 1}) AS y
           FROM pts
         )"""
 
@@ -440,10 +463,16 @@ def geo_candidate_pairs_sql() -> str:
         )
         SELECT a.id AS id1, b.id AS id2,
                (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+             + LEAST(abs(a.lon_u - b.lon_u),
+                     {LON_SPAN} - abs(a.lon_u - b.lon_u))
+             * LEAST(abs(a.lon_u - b.lon_u),
+                     {LON_SPAN} - abs(a.lon_u - b.lon_u)) AS d2
         FROM fam a JOIN cells b ON a.cx = b.x AND a.cy = b.y
         WHERE a.id < b.id
           AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-            + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+            + LEAST(abs(a.lon_u - b.lon_u),
+                    {LON_SPAN} - abs(a.lon_u - b.lon_u))
+            * LEAST(abs(a.lon_u - b.lon_u),
+                    {LON_SPAN} - abs(a.lon_u - b.lon_u)) <= {R2}
         ORDER BY id1, id2
     """

@@ -281,8 +281,11 @@ def parse_addresses(df: DataFrame, address_col: str = "address") -> DataFrame:
 
     @F.pandas_udf("string")
     def _parse(addrs: pd.Series) -> pd.Series:
+        # NULL/empty rows yield NULL tags, not a task crash — the CLI
+        # feeds arbitrary user columns here
         return addrs.map(lambda a: " ".join(
-            decode(a.split(" "), weights, tags, address_features)))
+            decode(a.split(" "), weights, tags, address_features)
+        ) if isinstance(a, str) and a else None)
 
     return df.withColumn("tags_pred", _parse(F.col(address_col)))
 
@@ -297,7 +300,8 @@ def parse_addresses_crf(
     @F.pandas_udf("string")
     def _parse(addrs: pd.Series) -> pd.Series:
         return addrs.map(lambda a: " ".join(
-            crf.decode(a.split(" "), model, obs_features)))
+            crf.decode(a.split(" "), model, obs_features)
+        ) if isinstance(a, str) and a else None)
 
     return df.withColumn("tags_pred", _parse(F.col(address_col)))
 

@@ -14,8 +14,9 @@ from libpostal_spark.operators import geo  # noqa: E402
 
 def _py_geohash6(lat_u: int, lon_u: int) -> str:
     """Independent scalar mirror of the JVM expression."""
-    x = (lon_u + geo.LON_SPAN // 2) * geo.CELLS // geo.LON_SPAN
-    y = (lat_u + geo.LAT_SPAN // 2) * geo.CELLS // geo.LAT_SPAN
+    x = (lon_u + geo.LON_SPAN // 2) * geo.CELLS // geo.LON_SPAN % geo.CELLS
+    y = min((lat_u + geo.LAT_SPAN // 2) * geo.CELLS // geo.LAT_SPAN,
+            geo.CELLS - 1)
     v = 0
     for k in range(geo.BITS):
         v |= ((x >> k) & 1) << (2 * k + 1)
@@ -62,8 +63,10 @@ def test_neighbor_blocking_is_exact_contract(spark):
     pts = geo.synth_points(spark, sf).collect()
     cells = {
         r["id"]: (
-            (r["lon_u"] + geo.LON_SPAN // 2) * geo.CELLS // geo.LON_SPAN,
-            (r["lat_u"] + geo.LAT_SPAN // 2) * geo.CELLS // geo.LAT_SPAN,
+            (r["lon_u"] + geo.LON_SPAN // 2) * geo.CELLS
+            // geo.LON_SPAN % geo.CELLS,
+            min((r["lat_u"] + geo.LAT_SPAN // 2) * geo.CELLS
+                // geo.LAT_SPAN, geo.CELLS - 1),
             r["lat_u"], r["lon_u"],
         )
         for r in pts
@@ -188,3 +191,26 @@ def test_place_twin_scale_free(spark):
         a = a.sort_values(list(a.columns), ignore_index=True)
         b = b.sort_values(list(b.columns), ignore_index=True)
         assert a.equals(b), sf_dir
+
+
+def test_antimeridian_pair_found(spark):
+    """Two points ~600 m apart ACROSS the antimeridian: the wrapped
+    family keys put them in a shared bucket and the cyclic-longitude
+    distance confirms them; a third point safely inside the seam cell
+    but far away is not paired. Also pins the domain-edge rule:
+    lon = +180° wraps to cell 0, lat = +90° clamps to the last row."""
+    pts = spark.createDataFrame(
+        [(1, 0, 179_998_000), (2, 0, -179_997_000), (3, 0, 170_000_000)],
+        "id long, lat_u long, lon_u long",
+    )
+    got = {(r["id1"], r["id2"]): r["d2"]
+           for r in geo.candidate_pairs_from_points(pts).collect()}
+    # cyclic dlon = 360_000_000 - 359_995_000 = 5_000 µdeg
+    assert got == {(1, 2): 5_000 * 5_000}
+
+    edge = spark.createDataFrame(
+        [(0, 90_000_000, 180_000_000)], "id long, lat_u long, lon_u long"
+    )
+    x, y = geo.cell_cols()
+    r = edge.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert r["x"] == 0 and r["y"] == geo.CELLS - 1

@@ -82,3 +82,18 @@ def test_short_text_and_empty_vocab_paths(spark):
     out = LR.predict_spark(sdf, m).toPandas()
     assert set(out["lang_pred"]) == {m.bias_pred}
     assert len(out) == 2
+
+
+def test_predict_spark_custom_text_col(spark):
+    """fit_spark and predict_spark pair on a non-default text column."""
+    from libpostal_spark.functions import logreg as LGR
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat", "en"),
+         (2, "der hund und der mann und der", "de")] * 3,
+        "doc_id long, body string, lang string",
+    )
+    m = LGR.fit_spark(df, text_col="body")
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in LGR.predict_spark(df, m, text_col="body").collect()}
+    assert out[1] == "en" and out[2] == "de"

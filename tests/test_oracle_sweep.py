@@ -72,14 +72,23 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _compare(spark, sf_dir: str, name: str) -> None:
     # table-reading twin builders (lang_id_logreg weights) follow the
-    # compare scale, exactly as tools/oracle_check.py and the driver do
+    # compare scale, exactly as tools/oracle_check.py and the driver do;
+    # restore afterwards so the compare scale never leaks into other
+    # tests in the same session
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    sdf = E.queries()[name](spark, sf_dir).toPandas()
-    con = _duck(sf_dir)
     try:
-        odf = con.sql(E.oracle_sql()[name]).df()
+        sdf = E.queries()[name](spark, sf_dir).toPandas()
+        con = _duck(sf_dir)
+        try:
+            odf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
     finally:
-        con.close()
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = prev
     assert len(sdf) == len(odf), f"{name}@{sf_dir}: rows {len(sdf)}!={len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns), f"{name}@{sf_dir}: schema"
     assert _canon(sdf) == _canon(odf), f"{name}@{sf_dir}: value hash"

@@ -151,3 +151,16 @@ def test_twin_scale_free(sf_dir, model):
         dec = lambda a: crf.decode(a.split(" "), m, P.obs_features)  # noqa: E731
     for _, r in df.iterrows():
         assert r["tags_pred"] == " ".join(dec(r["address"]))
+
+
+def test_null_address_yields_null_tags(spark):
+    """NULL/empty address rows yield NULL tags, not a task crash — the
+    CLI feeds arbitrary user columns into the parse UDFs."""
+    df = spark.createDataFrame(
+        [(1, "17 oak road fairview 90210 asia"), (2, None), (3, "")],
+        "rid long, address string",
+    )
+    for parse in (P.parse_addresses, P.parse_addresses_crf):
+        rows = {r["rid"]: r["tags_pred"] for r in parse(df).collect()}
+        assert rows[1] == "house_number road road city postcode country"
+        assert rows[2] is None and rows[3] is None
