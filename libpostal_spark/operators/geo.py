@@ -133,9 +133,9 @@ def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs_from_points(synth_points(spark, sf_dir))
 
 
-def candidate_pairs_from_points(points: DataFrame) -> DataFrame:
+def candidate_pairs_from_points(points: DataFrame, r2: int = R2) -> DataFrame:
     """Geohash-neighbor blocking + integer distance confirm over any
-    (id, lat_u, lon_u) table.
+    (id, lat_u, lon_u) table; ``r2`` is the squared microdegree radius.
 
     Pair contract (the reference's near-dupe geo semantic): (a, b) is
     emitted iff their cells are neighbors on each axis (longitude
@@ -182,7 +182,7 @@ def candidate_pairs_from_points(points: DataFrame) -> DataFrame:
             "id2",
             d2.alias("d2"),
         )
-        .where(F.col("d2") <= R2)
+        .where(F.col("d2") <= F.lit(r2))
     )
 
 
