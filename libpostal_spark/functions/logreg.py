@@ -247,11 +247,15 @@ def fit_spark(
         )
         .groupBy("tri")
         .agg(F.count("*").alias("cnt"))
+        # distributed top-k: the orderBy+limit runs as a per-partition
+        # TakeOrderedAndProject, so the driver receives at most vocab_k rows
+        # instead of every distinct trigram of the sample (round-6 verdict
+        # item: same deterministic (-cnt, tri) ranking, bit-identical vocab)
+        .orderBy(F.desc("cnt"), F.asc("tri"))
+        .limit(vocab_k)
         .collect()
     )
-    ranked = sorted(((r["cnt"], r["tri"]) for r in tri_counts),
-                    key=lambda cv: (-cv[0], cv[1]))
-    vocab = [tri for _, tri in ranked[:vocab_k]]
+    vocab = [r["tri"] for r in tri_counts]
     classes = sorted(
         r["lang"] for r in fit_docs.select("lang").distinct().collect()
     )
