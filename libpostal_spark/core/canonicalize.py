@@ -206,7 +206,65 @@ _HAN_FOLD = {
     "湾": "wan", "花": "hua", "园": "yuan", "桥": "qiao", "公": "gong",
     "学": "xue", "好": "hao", "王": "wang", "李": "li", "张": "zhang",
     "刘": "liu", "陈": "chen", "林": "lin", "金": "jin",
+    # round-7 head widening: numbers/measure words, address morphemes,
+    # geography, the top single-reading surnames, colors and nature terms.
+    # Polyphones whose reading depends on context (行, 重, 长, 都, 堡, 铺,
+    # 弄) are deliberately EXCLUDED — they pass through rather than fold
+    # wrong; ü-vowel readings (绿/吕) excluded to stay ASCII-faithful.
+    "百": "bai", "千": "qian", "万": "wan", "零": "ling", "半": "ban",
+    "号": "hao", "室": "shi", "楼": "lou", "层": "ceng", "栋": "dong",
+    "巷": "xiang", "道": "dao", "段": "duan", "里": "li", "乡": "xiang",
+    "府": "fu", "宫": "gong", "庙": "miao", "寺": "si", "塔": "ta",
+    "站": "zhan", "场": "chang", "馆": "guan", "院": "yuan", "校": "xiao",
+    "厂": "chang", "店": "dian", "屋": "wu", "家": "jia", "房": "fang",
+    "田": "tian", "心": "xin", "新": "xin", "旧": "jiu", "高": "gao",
+    "低": "di", "短": "duan", "春": "chun", "夏": "xia", "秋": "qiu",
+    "冬": "dong", "风": "feng", "云": "yun", "雨": "yu", "雪": "xue",
+    "星": "xing", "光": "guang", "明": "ming", "安": "an", "平": "ping",
+    "和": "he", "福": "fu", "寿": "shou", "喜": "xi", "龙": "long",
+    "凤": "feng", "虎": "hu", "马": "ma", "牛": "niu", "羊": "yang",
+    "鸟": "niao", "鱼": "yu", "木": "mu", "森": "sen", "石": "shi",
+    "玉": "yu", "银": "yin", "铁": "tie", "铜": "tong", "青": "qing",
+    "红": "hong", "黄": "huang", "白": "bai", "黑": "hei", "首": "shou",
+    "华": "hua", "建": "jian", "设": "she", "井": "jing", "泉": "quan",
+    "溪": "xi", "岛": "dao", "岸": "an", "坡": "po", "岭": "ling",
+    "峰": "feng", "谷": "gu", "洞": "dong", "滩": "tan", "池": "chi",
+    "塘": "tang", "坝": "ba", "营": "ying", "庄": "zhuang", "屯": "tun",
+    "集": "ji", "赵": "zhao", "钱": "qian", "孙": "sun", "周": "zhou",
+    "吴": "wu", "郑": "zheng", "冯": "feng", "卫": "wei", "蒋": "jiang",
+    "沈": "shen", "韩": "han", "杨": "yang", "朱": "zhu", "秦": "qin",
+    "许": "xu", "何": "he", "施": "shi", "孔": "kong", "曹": "cao",
+    "严": "yan", "魏": "wei", "陶": "tao", "姜": "jiang", "谢": "xie",
+    "邹": "zou", "苏": "su", "潘": "pan", "葛": "ge", "范": "fan",
+    "彭": "peng", "鲁": "lu", "韦": "wei", "苗": "miao", "方": "fang",
+    "袁": "yuan", "柳": "liu", "唐": "tang", "罗": "luo", "薛": "xue",
+    "雷": "lei", "贺": "he", "汤": "tang", "毕": "bi", "郝": "hao",
+    "常": "chang", "傅": "fu", "齐": "qi", "康": "kang", "余": "yu",
+    "元": "yuan", "顾": "gu", "孟": "meng", "萧": "xiao", "尹": "yin",
+    "姚": "yao", "邵": "shao", "汪": "wang", "毛": "mao", "米": "mi",
+    "贝": "bei", "成": "cheng", "戴": "dai", "宋": "song", "熊": "xiong",
+    "舒": "shu", "项": "xiang", "祝": "zhu", "董": "dong", "梁": "liang",
+    "杜": "du", "蓝": "lan", "席": "xi", "季": "ji", "贾": "jia",
+    "童": "tong", "颜": "yan", "郭": "guo", "梅": "mei", "盛": "sheng",
+    "钟": "zhong", "徐": "xu", "邱": "qiu", "骆": "luo", "蔡": "cai",
+    "樊": "fan", "胡": "hu", "凌": "ling", "霍": "huo", "支": "zhi",
+    "柯": "ke", "管": "guan", "卢": "lu", "莫": "mo",
 }
+
+
+def han_fold_coverage(text: str) -> tuple[int, int]:
+    """(folded, total) Han-script characters of ``text`` covered by
+    _HAN_FOLD — the measured-coverage companion to the curated head (the
+    tail passes through honestly). Han detection by Unicode block
+    (CJK Unified Ideographs, U+4E00-U+9FFF, + Extension A)."""
+    total = folded = 0
+    for ch in text:
+        cp = ord(ch)
+        if 0x3400 <= cp <= 0x9FFF:
+            total += 1
+            if ch in _HAN_FOLD:
+                folded += 1
+    return folded, total
 
 _FOLD_TRANS = str.maketrans(
     {**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD, **_ARABIC_FOLD,
@@ -214,10 +272,27 @@ _FOLD_TRANS = str.maketrans(
 )
 
 
-def latin_ascii_fold_one(s: str) -> str:
-    """Latin-ASCII transliteration of one string: fold table (Latin
-    non-decomposables + Cyrillic + Greek + Arabic + Hebrew base letters),
-    NFD-decompose, strip combining marks, fold again.
+# Context-sensitive per-language rule layers, applied BEFORE the generic
+# fold — the analog of the reference's language-specific transliterators
+# taking precedence over Latin-ASCII (/root/reference/src/transliterate.c:669,
+# transliteration_table ordering: a 'de' request runs de-ASCII rules first).
+# German orthographic convention: umlauts expand to vowel+e and ß→ss
+# (München→Muenchen), where the generic context-free fold would strip the
+# trema (München→Munchen). Upper-case forms map to title-case digraphs so
+# camel boundaries survive ("ÜberCount"→"UeberCount"→"ueber count").
+_LANG_PRE_FOLD = {
+    "de": str.maketrans(
+        {"ä": "ae", "ö": "oe", "ü": "ue", "Ä": "Ae", "Ö": "Oe", "Ü": "Ue",
+         "ß": "ss"}
+    ),
+}
+
+
+def latin_ascii_fold_one(s: str, lang: str | None = None) -> str:
+    """Latin-ASCII transliteration of one string: optional per-language
+    context rules (``lang``), then fold table (Latin non-decomposables +
+    Cyrillic + Greek + Arabic + Hebrew base letters), NFD-decompose, strip
+    combining marks, fold again.
 
     The table runs BOTH before and after decomposition: before, so
     precomposed table entries win over their decompositions (й → y, not
@@ -225,18 +300,23 @@ def latin_ascii_fold_one(s: str) -> str:
     base letter the table can then fold (ά → α → a, ё́-like stacks, Latin
     é → e needs no entry at all). Outputs are ASCII, so the second pass is
     idempotent on anything the first already folded."""
+    pre = _LANG_PRE_FOLD.get(lang or "")
+    if pre is not None:
+        s = s.translate(pre)
     s = s.translate(_FOLD_TRANS)
     d = unicodedata.normalize("NFD", s)
     d = "".join(ch for ch in d if not unicodedata.combining(ch))
     return d.translate(_FOLD_TRANS)
 
 
-def _latin_ascii(series: pd.Series) -> pd.Series:
+def _latin_ascii(series: pd.Series, lang: str | None = None) -> pd.Series:
     """Vectorized Latin-ASCII fold (non-ASCII rows only; ASCII fast path)."""
     non_ascii = ~series.map(str.isascii)
     if non_ascii.any():
         series = series.copy()
-        series[non_ascii] = series[non_ascii].map(latin_ascii_fold_one)
+        series[non_ascii] = series[non_ascii].map(
+            lambda s: latin_ascii_fold_one(s, lang)
+        )
     return series
 
 
@@ -251,6 +331,8 @@ def canonicalize_batch(
     transliterate: bool = False,
     fold_spelled_numbers: bool = False,
     fold_roman: bool = False,
+    numex_lang: str = "en",
+    translit_lang: str | None = None,
 ) -> pd.Series:
     """Vectorized canonicalizer: pd.Series[str] → pd.Series[str] (canon form).
 
@@ -272,7 +354,7 @@ def canonicalize_batch(
     if transliterate:
         # Latin-ASCII fold BEFORE case splitting so folded uppercase letters
         # ("ÜberCount" → "UberCount") still participate in camel boundaries
-        s = _latin_ascii(s)
+        s = _latin_ascii(s, translit_lang)
     s = s.str.replace(_RE_BLOCK_COMMENT, " ", regex=True)
     s = s.str.replace(_RE_LINE_COMMENT, " ", regex=True)
     s = s.str.replace(_RE_CAMEL_2, r"\1 \2", regex=True)
@@ -285,7 +367,7 @@ def canonicalize_batch(
         # "twenty three" -> "23" still hits fold_numbers' digits->0 collapse
         from .numex import fold_spelled_numbers_batch
 
-        joined = fold_spelled_numbers_batch(joined, fold_roman)
+        joined = fold_spelled_numbers_batch(joined, fold_roman, numex_lang)
     if expansions or fold_numbers:
         joined, _ = rewrite_joined_batch(joined, expansions, fold_numbers)
     return joined

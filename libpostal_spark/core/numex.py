@@ -210,10 +210,46 @@ def fold_spelled_numbers(tokens: list[str], fold_roman: bool = False) -> list[st
 
 
 def fold_spelled_numbers_batch(
-    joined: pd.Series, fold_roman: bool = False
+    joined: pd.Series, fold_roman: bool = False, lang: str = "en"
 ) -> pd.Series:
     """Batch wrapper over space-joined canon strings: regex prefilter marks
-    the rows containing any number word; only those run the token scan."""
+    the rows containing any number word; only those run the token scan.
+
+    ``lang`` selects the numex rule table, mirroring the reference's
+    per-language numex gating (src/numex.c:1260, data numex_data.c):
+    "en" (this module) or "fr"/"de"/"es" (core/numex_ml.py). Non-English
+    prefilters probe an accent-stripped copy so "zéro"/"dieciséis" rows
+    are not skipped when the transliterate stage didn't run upstream.
+    """
+    if lang != "en":
+        from .numex_ml import LANG_FOLDERS
+
+        folder, prefilter = LANG_FOLDERS[lang]
+        probe = joined.str.normalize("NFD").str.replace(
+            "[\u0300-\u036f]", "", regex=True
+        )
+        hit = probe.str.contains(prefilter)
+        if fold_roman:
+            hit = hit | joined.str.contains(
+                r"(?:^| )[ivxlcdm]{2,}(?: |$)", regex=True
+            )
+        if not hit.any():
+            return joined
+        joined = joined.copy()
+        if fold_roman:
+            def _fold(s: str) -> str:
+                toks = folder(s.split(" "))
+                return " ".join(
+                    str(rv)
+                    if (rv := roman_value(t)) is not None else t
+                    for t in toks
+                )
+            joined[hit] = joined[hit].map(_fold)
+        else:
+            joined[hit] = joined[hit].map(
+                lambda s: " ".join(folder(s.split(" ")))
+            )
+        return joined
     hit = joined.str.contains(_PREFILTER)
     if fold_roman:
         hit = hit | joined.str.contains(

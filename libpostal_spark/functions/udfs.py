@@ -64,6 +64,8 @@ def make_canonicalize_udf(
     transliterate: bool = False,
     fold_spelled_numbers: bool = False,
     fold_roman: bool = False,
+    numex_lang: str = "en",
+    translit_lang: str | None = None,
 ):
     """content:string -> canon:string (vectorized; analog of
     expand_address_root, /root/reference/src/expand.c:1653-1655). Pass an
@@ -83,6 +85,8 @@ def make_canonicalize_udf(
                 transliterate=transliterate,
                 fold_spelled_numbers=fold_spelled_numbers,
                 fold_roman=fold_roman,
+                numex_lang=numex_lang,
+                translit_lang=translit_lang,
             )
 
     return canonicalize_udf
