@@ -312,6 +312,22 @@ _TRANSLIT_EXT_ONE = [
     ("ג", "g"), ("ד", "d"),
     ("ん", "n"), ("ン", "n"),
 ]
+# CONTEXT-SENSITIVE rows (round 7): German-routed suffixes where the de
+# convention (ü→ue / ö→oe / ä→ae / ß→ss, reference: language-specific
+# transliterators run before Latin-ASCII, src/transliterate.c:669) must
+# beat the generic trema-strip (München→muenchen, NOT munchen). The camel
+# case row proves the title-case digraph mapping preserves camel
+# boundaries (GrößeÜberFünf → groesse ueber fuenf).
+_TRANSLIT_DE_SUFFIXES = [
+    "München Straße",
+    "GrößeÜberFünf",
+    "schön für Übermut",
+    "Köln Düsseldorf Straßenbahn",
+]
+_TRANSLIT_DE_MAP = [
+    ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"),
+    ("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss"),
+]
 
 
 def _q_canonicalize_translit_ext(spark, sf_dir):
@@ -323,16 +339,22 @@ def _q_canonicalize_translit_ext(spark, sf_dir):
     increment toward the reference's CLDR transliterator coverage,
     /root/reference/src/transliterate.c:669)."""
     canon_udf = make_canonicalize_udf(transliterate=True)
-    arr = F.array(*[F.lit(s) for s in _TRANSLIT_EXT_SUFFIXES])
-    idx = (
-        F.pmod(F.col("doc_id").cast("long"),
-               F.lit(len(_TRANSLIT_EXT_SUFFIXES))) + 1
-    ).cast("int")
+    de_udf = make_canonicalize_udf(transliterate=True, translit_lang="de")
+    suffixes = _TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+    n_generic = len(_TRANSLIT_EXT_SUFFIXES)
+    arr = F.array(*[F.lit(s) for s in suffixes])
+    idx0 = F.pmod(F.col("doc_id").cast("long"), F.lit(len(suffixes)))
+    decorated = F.concat(
+        F.col("text"), F.lit(" "), F.element_at(arr, (idx0 + 1).cast("int"))
+    )
+    # de-tagged rows run the context-sensitive German transliterator (the
+    # reference's per-language rule precedence); the rest run generic
+    canon = F.when(idx0 >= n_generic, de_udf(decorated)).otherwise(
+        canon_udf(decorated)
+    )
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        canon_udf(
-            F.concat(F.col("text"), F.lit(" "), F.element_at(arr, idx))
-        ).alias("canon"),
+        canon.alias("canon"),
     )
 
 
@@ -342,18 +364,31 @@ def _translit_ext_sql() -> str:
     strips + one translate for the 1:1 letters) feeding the shared canon
     expression. A fold-table or NFD-strip bug in the new scripts breaks
     the hash."""
-    n = len(_TRANSLIT_EXT_SUFFIXES)
-    suffix = _case_by_doc_id([_sql_quote(x) for x in _TRANSLIT_EXT_SUFFIXES], n)
+    suffixes = _TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+    n = len(suffixes)
+    n_generic = len(_TRANSLIT_EXT_SUFFIXES)
+    suffix = _case_by_doc_id([_sql_quote(x) for x in suffixes], n)
     folded = f"(text || ' ' || {suffix})"
     for a, b in _TRANSLIT_EXT_MULTI:
         folded = f"replace({folded}, {_sql_quote(a)}, {_sql_quote(b)})"
     frm = "".join(a for a, _ in _TRANSLIT_EXT_ONE)
     to = "".join(b for _, b in _TRANSLIT_EXT_ONE)
     folded = f"translate({folded}, {_sql_quote(frm)}, {_sql_quote(to)})"
+    # de arm: the umlaut-digraph convention replaces BEFORE the shared
+    # canon expression (independent re-derivation of _LANG_PRE_FOLD)
+    de_folded = f"(text || ' ' || {suffix})"
+    for a, b in _TRANSLIT_DE_MAP:
+        de_folded = f"replace({de_folded}, {_sql_quote(a)}, {_sql_quote(b)})"
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                {_canon_expr(folded)} AS canon
         FROM documents
+        WHERE CAST(doc_id AS BIGINT) % {n} < {n_generic}
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_canon_expr(de_folded)} AS canon
+        FROM documents
+        WHERE CAST(doc_id AS BIGINT) % {n} >= {n_generic}
     """
 
 
@@ -695,28 +730,96 @@ _NUMEX_PHRASES = [
     ("two thousand and first prize", "2001 prize"),
 ]
 
+# Multi-language numex goldens (reference: per-language rule tables in
+# src/numex_data.c:1-8871, loader/composer src/numex.c:1260; SURVEY §2.3's
+# own example "quatre vingt douze"→92 is French). Expected folds derived BY
+# HAND from each language's grammar — French vigesimal pairs and the 'et'
+# connective, German compound-token morphemes, Spanish fused hundreds and
+# the 'y' connective — not by running the implementation. Non-English rows
+# run with transliterate=True (the tokenizer is ASCII/code-oriented;
+# accents fold upstream exactly as the reference transliterates before
+# numex).
+_NUMEX_PHRASES_ML = [("en", p, o) for p, o in _NUMEX_PHRASES] + [
+    ("fr", "quatre vingt douze rue de la Paix", "92 rue de la paix"),
+    ("fr", "soixante et onze", "71"),
+    ("fr", "mille neuf cent quatre vingt quatorze", "1994"),
+    ("fr", "le premier étage", "le 1 etage"),
+    ("fr", "vingt et unième siècle", "21 siecle"),
+    ("fr", "deux cents mètres", "200 metres"),
+    ("fr", "zéro défaut", "0 defaut"),
+    ("fr", "soixante dix sept ans", "77 ans"),
+    ("fr", "aucun nombre ici", "aucun nombre ici"),
+    ("fr", "trois millions de personnes", "3000000 de personnes"),
+    ("fr", "chapitre xiv", "chapitre 14"),
+    ("de", "einundzwanzig Fenster", "21 fenster"),
+    ("de", "zweitausendfünfhundertdreiundvierzig", "2543"),
+    ("de", "dreißig Grad", "30 grad"),
+    ("de", "die erste Straße links", "die 1 strasse links"),
+    ("de", "fünfundzwanzig", "25"),
+    ("de", "zwei Millionen Einwohner", "2000000 einwohner"),
+    ("de", "hundert Jahre", "100 jahre"),
+    ("de", "kein Wert hier", "kein wert hier"),
+    ("de", "einundzwanzigste Etage", "21 etage"),
+    ("de", "siebzehn", "17"),
+    ("es", "treinta y dos casas", "32 casas"),
+    ("es", "dieciséis velas", "16 velas"),
+    ("es", "vigésimo segundo piso", "22 piso"),
+    ("es", "quinientos cuarenta y tres", "543"),
+    ("es", "dos mil veinte", "2020"),
+    ("es", "el primer piso", "el 1 piso"),
+    ("es", "mil novecientos noventa y nueve", "1999"),
+    ("es", "cero errores", "0 errores"),
+    ("es", "sin numeros aqui", "sin numeros aqui"),
+    ("es", "un millón de habitantes", "1000000 de habitantes"),
+]
+_NUMEX_LANGS = ("en", "fr", "de", "es")
+
 
 def _q_numex_fold(spark, sf_dir):
-    """numex spelled-number + Roman folding through the canonicalize UDF:
-    each doc folds a deterministic golden phrase (doc_id % K)."""
-    udf = make_canonicalize_udf(fold_spelled_numbers=True, fold_roman=True)
-    arr = F.array(*[F.lit(p) for p, _ in _NUMEX_PHRASES])
-    idx = (
-        F.pmod(F.col("doc_id").cast("long"), F.lit(len(_NUMEX_PHRASES))) + 1
-    ).cast("int")
+    """numex spelled-number + Roman folding through the canonicalize UDF in
+    all four rule-table languages: each doc folds a deterministic golden
+    phrase (doc_id % K) with the folder routed by the phrase's language —
+    the analog of the reference applying the numex table of the language
+    in effect."""
+    n = len(_NUMEX_PHRASES_ML)
+    arr = F.array(*[F.lit(p) for _, p, _ in _NUMEX_PHRASES_ML])
+    larr = F.array(*[F.lit(l) for l, _, _ in _NUMEX_PHRASES_ML])
+    idx = (F.pmod(F.col("doc_id").cast("long"), F.lit(n)) + 1).cast("int")
+    phrase = F.element_at(arr, idx)
+    lang = F.element_at(larr, idx)
+    udfs = {
+        l: make_canonicalize_udf(
+            fold_spelled_numbers=True,
+            fold_roman=True,
+            transliterate=(l != "en"),
+            numex_lang=l,
+        )
+        for l in _NUMEX_LANGS
+    }
+    folded = (
+        F.when(lang == "en", udfs["en"](phrase))
+        .when(lang == "fr", udfs["fr"](phrase))
+        .when(lang == "de", udfs["de"](phrase))
+        .otherwise(udfs["es"](phrase))
+    )
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        udf(F.element_at(arr, idx)).alias("folded"),
+        lang.alias("lang"),
+        folded.alias("folded"),
     )
 
 
 def _numex_sql() -> str:
-    n = len(_NUMEX_PHRASES)
+    n = len(_NUMEX_PHRASES_ML)
     case = _case_by_doc_id(
-        [_sql_quote(out) for _, out in _NUMEX_PHRASES], n
+        [_sql_quote(out) for _, _, out in _NUMEX_PHRASES_ML], n
+    )
+    lcase = _case_by_doc_id(
+        [_sql_quote(l) for l, _, _ in _NUMEX_PHRASES_ML], n
     )
     return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, {case} AS folded
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {lcase} AS lang,
+               {case} AS folded
         FROM documents
     """
 
