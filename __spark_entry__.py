@@ -2549,6 +2549,12 @@ def _q_streaming_window_stats(spark, sf_dir):
     )
 
 
+# state-store width of the harness streaming query: each partition pays
+# per-batch store commit machinery, so fewer is faster until bucket-key
+# parallelism starves (A/B-measured in round 7; see BASELINE.md)
+_STREAM_STATE_PARTITIONS = 8
+
+
 def _q_streaming_lsh_candidates(spark, sf_dir):
     """SECOND real Structured-Streaming oracle: the documents table read as
     an availableNow file stream → featurize → MinHash band keys →
@@ -2575,10 +2581,25 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
     # first 4 of the 32 bands: each band is an independent LSH table, so
     # the subset only bounds the harness query's state-store size (the
     # full-width detector is pytest-covered); the twin filters identically
-    out = ST.stateful_near_dup_candidates(files, _cfg_sha(), bands_limit=4)
+    out = ST.stateful_near_dup_candidates(
+        files, _cfg_sha(), bands_limit=4, featurize_partitions=16
+    )
     name = f"lsh_alerts_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_store = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+    )
+    # RocksDB state store: beat the default HDFS-backed provider in every
+    # paired same-window A/B at this width (r7: 7.35/7.73, 5.75/6.97,
+    # 5.49/5.70 s) — native store skips the JVM snapshot machinery
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     try:
         q = (
             out.writeStream.format("memory")
@@ -2592,6 +2613,12 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
         rows, sschema = sink.collect(), sink.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_store is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_store
+            )
         spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, sschema).select(
         F.col("band").cast("int").alias("band"),

@@ -84,6 +84,30 @@ def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
     )
 
 
+def featurize_bands(
+    canon: pd.Series, cfg: PipelineConfig, n_bands: int
+) -> np.ndarray:
+    """(n × n_bands) int64: ONLY the first ``n_bands`` MinHash band keys.
+
+    The lean featurizer for consumers that key on a band subset (streaming
+    ``bands_limit``): same tokenize + shingle pass, but the MinHash loop
+    evaluates just the n_bands·rows_per_band needed permutations
+    (limit_perm keeps the full-width parameter stream, so the values equal
+    the full featurizer's first columns bit-for-bit) and SimHash / winnow /
+    per-row shingle lists are skipped entirely — those key families aren't
+    consumed. ~8x less signature math at bands_limit=4 of 32.
+    """
+    flat, lengths = tokenize_flat(canon, cfg.seed, cfg.hash_mode)
+    sh_vals, sh_off = H.shingle_sets(
+        flat, lengths, cfg.k_shingle, cfg.max_shingles_per_doc
+    )
+    sig = H.minhash_signatures(
+        sh_vals, sh_off, cfg.num_perm, cfg.seed,
+        limit_perm=n_bands * cfg.rows_per_band,
+    )
+    return H.band_hashes(sig, n_bands, cfg.rows_per_band)
+
+
 def pair_jaccard_batch(c1: pd.Series, c2: pd.Series, cfg: PipelineConfig) -> pd.Series:
     """Exact shingle-set Jaccard for aligned canon-string pairs.
 

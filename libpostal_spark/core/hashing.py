@@ -195,23 +195,33 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 @_wraps_uint64
 def minhash_signatures(
-    values: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int
+    values: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int,
+    limit_perm: int | None = None,
 ) -> np.ndarray:
     """(n_rows × num_perm) uint64 MinHash matrix over per-row shingle sets.
 
     Multiply-shift permutations: h_i(s) = (a_i·s + b_i) mod 2^64 with odd a_i.
     One vector op + one ``np.minimum.reduceat`` per permutation — no per-row
     loop. Empty rows (offsets equal) get sentinel 2^64-1.
+
+    ``limit_perm`` evaluates only the FIRST k permutations while drawing
+    the parameter vectors at full ``num_perm`` width — (a, b) come from one
+    sequential RNG stream, so a shorter parameter draw would shift b and
+    silently change every hash. The output equals the full matrix's first
+    k columns bit-for-bit (pinned in tests), which is what lets a
+    bands-subset consumer (streaming bands_limit) skip 7/8 of the reduceat
+    passes without forking the key universe.
     """
     a, b = _perm_params(num_perm, seed)
+    k = num_perm if limit_perm is None else min(limit_perm, num_perm)
     s = values.view(U64)
     n_rows = len(offsets) - 1
-    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=U64)
+    sig = np.full((n_rows, k), np.iinfo(np.uint64).max, dtype=U64)
     if len(s) == 0:
         return sig
     nonempty = offsets[:-1] < offsets[1:]
     starts = offsets[:-1][nonempty]
-    for i in range(num_perm):
+    for i in range(k):
         h = a[i] * s + b[i]
         sig[nonempty, i] = np.minimum.reduceat(h, starts)
     return sig

@@ -148,6 +148,32 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
     return featurize_udf
 
 
+def make_band_keys_udf(cfg: PipelineConfig, n_bands: int):
+    """content:string -> array<long>: canonicalize + ONLY the first
+    ``n_bands`` MinHash band keys (core/featurize.featurize_bands). The
+    lean streaming featurizer: a bands_limit consumer pays for exactly the
+    key family it reads — same canon stage, ~1/8 of the signature math at
+    4 of 32 bands, and bit-identical keys to the full featurizer's prefix
+    (limit_perm parameter-stream invariant, pinned in tests)."""
+    from ..core.featurize import featurize_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        expansions = dict(cfg.token_expansions) if cfg.token_expansions else None
+        for content in it:
+            canon = canonicalize_batch(
+                content,
+                expansions=expansions,
+                fold_numbers=cfg.fold_numbers,
+                transliterate=cfg.transliterate,
+                fold_spelled_numbers=cfg.fold_spelled_numbers,
+                fold_roman=cfg.fold_roman_numerals,
+            )
+            yield pd.Series(list(featurize_bands(canon, cfg, n_bands)))
+
+    return band_keys_udf
+
+
 def make_pair_jaccard_udf(cfg: PipelineConfig):
     """(canon1, canon2) -> exact shingle-set Jaccard per candidate pair.
 

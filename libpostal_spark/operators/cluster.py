@@ -163,16 +163,23 @@ def connected_components_driver(pairs: DataFrame) -> DataFrame:
     driver and a single collect + union-find beats ~10 distributed rounds of
     shuffle jobs. Same output contract as ``connected_components``.
     """
+    id_type = pairs.schema["fid1"].dataType.simpleString()
     return union_find_rows(
-        pairs.select("fid1", "fid2").collect(), pairs.sparkSession
+        pairs.select("fid1", "fid2").collect(), pairs.sparkSession,
+        id_type=id_type if id_type in ("string", "long", "bigint") else None,
     )
 
 
-def union_find_rows(rows, spark) -> DataFrame:
+def union_find_rows(rows, spark, id_type: str | None = None) -> DataFrame:
     """Driver union-find over already-collected (fid1, fid2) rows — the
     core of ``connected_components_driver``, split out so callers that
     already hold the edge rows (the pipeline's merged materialize+collect
-    action) skip the second collect job."""
+    action) skip the second collect job.
+
+    ``id_type`` fixes the output schema explicitly ("string"/"long");
+    without it the type is inferred from the first node, which on an EMPTY
+    edge list can only guess string — long-id callers (place dedupe) pass
+    it so the zero-edge frame still joins against a bigint universe."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -203,7 +210,9 @@ def union_find_rows(rows, spark) -> DataFrame:
     # follows the caller's rows (string fids from the pipeline, long ids
     # from the geo/place callers) — a hardcoded string schema would throw
     # the Arrow path back to row reflection for integer ids.
-    idt = "string" if (not nodes or isinstance(next(iter(nodes)), str)) else "long"
+    idt = id_type or (
+        "string" if (not nodes or isinstance(next(iter(nodes)), str)) else "long"
+    )
     return spark.createDataFrame(out, schema=f"fid {idt}, component {idt}")
 
 

@@ -323,7 +323,7 @@ def place_dedup_clusters(
     # no double edge computation
     edge_rows = edges.limit(driver_max_edges + 1).collect()
     if len(edge_rows) <= driver_max_edges:
-        labels = C.union_find_rows(edge_rows, spark)
+        labels = C.union_find_rows(edge_rows, spark, id_type="long")
     else:
         labels = C.connected_components(edges)
     out = C.label_universe(
@@ -380,7 +380,7 @@ def place_dedup_clusters_sql() -> str:
           FROM named
         ),
         fam AS (
-          SELECT id, lat_u, lon_u, nset, (x + dx.d + 32768) % 32768 AS cx, y + dy.d AS cy
+          SELECT id, lat_u, lon_u, nset, (x + dx.d + {CELLS}) % {CELLS} AS cx, y + dy.d AS cy
           FROM nsets, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
         ),
         edges AS (
@@ -458,7 +458,7 @@ def geo_candidate_pairs_sql() -> str:
     return f"""
         WITH {_PTS_SQL},
         fam AS (
-          SELECT id, lat_u, lon_u, (x + dx.d + 32768) % 32768 AS cx, y + dy.d AS cy
+          SELECT id, lat_u, lon_u, (x + dx.d + {CELLS}) % {CELLS} AS cx, y + dy.d AS cy
           FROM cells, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
         )
         SELECT a.id AS id1, b.id AS id2,

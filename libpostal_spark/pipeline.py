@@ -187,7 +187,7 @@ class DedupPipeline:
         rep_labels = self.store.stage(
             "components",
             lambda: (
-                cluster.union_find_rows(edge_rows, self.spark)
+                cluster.union_find_rows(edge_rows, self.spark, id_type="string")
                 if edge_rows is not None
                 else cluster.connected_components_auto(
                     confirmed, n_confirmed, cfg.cc_driver_max_edges

@@ -216,7 +216,7 @@ def windowed_event_stats(
 
 def stateful_near_dup_candidates(
     stream: DataFrame, cfg: PipelineConfig, max_state_fids: int = 32,
-    bands_limit: int | None = None, featurize_partitions: int | None = 16,
+    bands_limit: int | None = None, featurize_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate alerts with cross-batch LSH state.
 
@@ -240,7 +240,10 @@ def stateful_near_dup_candidates(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if featurize_partitions:
-        # a file-stream source yields ONE scan partition per file, which
+        # OPT-IN (callers choose; the harness passes 16 — ADVICE r6: a
+        # default repartition would silently add a shuffle to every
+        # caller's plan, even tiny micro-batches).
+        # A file-stream source yields ONE scan partition per file, which
         # would run the featurize Arrow UDF single-task for a whole
         # micro-batch (measured: the dominant cost of the harness query —
         # interleaved A/B at sf0.1: 13.5-14.2 s unpartitioned vs 9.4-10.3 s
@@ -250,16 +253,30 @@ def stateful_near_dup_candidates(
         # partitioning-independent (per-bucket arrivals are sorted), so the
         # output is unchanged.
         stream = stream.repartition(featurize_partitions)
-    sigs = blocking.signatures(stream, cfg)
-    keys = sigs.select(
-        "fid", F.posexplode("bands").alias("band", "khash")
-    )
     if bands_limit is not None:
         # bounded key-family subset: each band is an independent LSH table,
         # so restricting to the first K bands only lowers the collision
         # probability (1-(1-t^r)^K), it does not change any emitted pair's
-        # correctness. Callers trade recall for state-store size.
-        keys = keys.filter(F.col("band") < bands_limit)
+        # correctness. Callers trade recall for state-store size — and pay
+        # featurize for ONLY the bands they read: the lean band-keys UDF
+        # evaluates K·rows_per_band of the num_perm permutations
+        # (bit-identical to the full featurizer's prefix) and skips
+        # SimHash/winnow/shingle materialization entirely (A/B-measured on
+        # the harness query: identical 891 rows + value hash, ~10% e2e —
+        # the state-store machinery, not featurize, now dominates).
+        from .functions.udfs import make_band_keys_udf
+
+        band_udf = make_band_keys_udf(cfg, bands_limit)
+        keys = blocking.with_ids(stream).select(
+            "fid", F.posexplode(band_udf(F.col("content"))).alias(
+                "band", "khash"
+            )
+        )
+    else:
+        sigs = blocking.signatures(stream, cfg)
+        keys = sigs.select(
+            "fid", F.posexplode("bands").alias("band", "khash")
+        )
 
     def track(key, pdfs, state: GroupState):
         band, khash = int(key[0]), int(key[1])

@@ -138,3 +138,41 @@ def test_max_shingles_cap():
     cfg = PipelineConfig(max_shingles_per_doc=10)
     f = featurize(pd.Series([" ".join(f"t{i}" for i in range(100))]), cfg)
     assert len(f.shingles[0]) == 10
+
+
+def test_minhash_limit_perm_is_prefix_stable():
+    """limit_perm evaluates the FIRST k permutations of the FULL parameter
+    stream: the lean bands-only featurizer (streaming bands_limit) keys
+    into the same LSH universe as the full featurizer, bit-for-bit."""
+    import numpy as np
+
+    from libpostal_spark.core.hashing import minhash_signatures
+
+    rng = np.random.default_rng(7)
+    values = rng.integers(0, 1 << 63, size=200, dtype=np.uint64).view(np.int64)
+    offsets = np.array([0, 13, 13, 50, 120, 200])
+    full = minhash_signatures(values, offsets, 128, seed=42)
+    lean = minhash_signatures(values, offsets, 128, seed=42, limit_perm=16)
+    assert lean.shape == (5, 16)
+    assert (lean == full[:, :16]).all()
+    # and a SHORTER parameter draw would NOT match (the b-stream shifts) —
+    # the reason limit_perm exists instead of just passing num_perm=16
+    naive = minhash_signatures(values, offsets, 16, seed=42)
+    assert not (naive == full[:, :16]).all()
+
+
+def test_featurize_bands_equals_full_prefix():
+    import numpy as np
+    import pandas as pd
+
+    from libpostal_spark.config import PipelineConfig
+    from libpostal_spark.core.featurize import featurize, featurize_bands
+
+    cfg = PipelineConfig()
+    canon = pd.Series(
+        ["def f x return x + 1", "class a pass", "", "import os sys json re"]
+    )
+    full = featurize(canon, cfg)
+    lean = featurize_bands(canon, cfg, n_bands=4)
+    assert lean.shape == (4, 4)
+    assert (np.asarray(full.bands)[:, :4] == lean).all()

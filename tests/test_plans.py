@@ -265,3 +265,29 @@ def test_canonicalize_by_language_narrow_plan(spark):
     plan = _plan(q)
     assert "Exchange" not in plan, plan
     assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1, plan
+
+
+def test_underlimit_take_fully_materializes_persist(spark):
+    """pipeline.py merged limit(max+1).collect() invariant: when the take
+    exhausts every partition (edge count <= budget), the persisted frame is
+    FULLY cached — no partition is left to recompute in the later
+    label-join stage. This is the load-bearing property that let the
+    count() action be merged away (ADVICE r6)."""
+    df = spark.range(0, 1000, 1, 8).withColumn(
+        "payload", F.sha2(F.col("id").cast("string").cast("binary"), 256)
+    ).persist()
+    try:
+        rows = df.limit(2000).collect()       # limit > total rows
+        assert len(rows) == 1000
+        infos = {
+            i.id(): i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()  # noqa: SLF001
+        }
+        cached = [
+            (i.numCachedPartitions(), i.numPartitions())
+            for i in infos.values()
+        ]
+        # the persisted RDD (InMemoryRelation materialization) is complete
+        assert any(c == p and p >= 8 for c, p in cached), cached
+    finally:
+        df.unpersist()

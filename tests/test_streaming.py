@@ -181,7 +181,7 @@ def test_stateful_near_dup_candidates(spark, tmp_path):
         ).parquet(src)
         stream = spark.readStream.schema(schema).parquet(src)
         q = (
-            stateful_near_dup_candidates(stream, cfg)
+            stateful_near_dup_candidates(stream, cfg, featurize_partitions=4)
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
