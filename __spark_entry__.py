@@ -282,6 +282,11 @@ _TRANSLIT_EXT_SUFFIXES = [
     "부산 김치",
     "北京 上海",
     "中国 人民",
+    # round 7: Devanagari + Thai (scripts 9-10)
+    "नमस्ते भारत",
+    "नई दिल्ली १२३",
+    "กรุงเทพ ไทย",
+    "สวัสดี ครับ",
 ]
 # hand-derived fold map for the suffix alphabet (core/canonicalize.py
 # _ARABIC_FOLD/_HEBREW_FOLD/_KANA_FOLD entries actually exercised above).
@@ -301,6 +306,13 @@ _TRANSLIT_EXT_MULTI = [
     # Han pinyin for the injected hanzi
     ("北", "bei"), ("京", "jing"), ("上", "shang"), ("海", "hai"),
     ("中", "zhong"), ("国", "guo"), ("人", "ren"), ("民", "min"),
+    # Devanagari consonants carry the inherent 'a'; the virama deletes
+    # (context-free: क्रम folds karama — the documented trade)
+    ("न", "na"), ("म", "ma"), ("स", "sa"), ("्", ""), ("त", "ta"),
+    ("भ", "bha"), ("र", "ra"), ("द", "da"), ("ल", "la"),
+    # Thai aspirates/digraph folds + preposed vowels in code-point order
+    ("ข", "kh"), ("ค", "kh"), ("ท", "th"), ("พ", "ph"), ("ง", "ng"),
+    ("ไ", "ai"),
 ]
 _TRANSLIT_EXT_ONE = [
     ("م", "m"), ("ر", "r"), ("ح", "h"), ("ب", "b"), ("ا", "a"), ("ل", "l"),
@@ -311,6 +323,13 @@ _TRANSLIT_EXT_ONE = [
     ("ת", "t"), ("ה", "h"), ("ב", "b"), ("י", "y"), ("כ", "k"), ("ף", "p"),
     ("ג", "g"), ("ד", "d"),
     ("ん", "n"), ("ン", "n"),
+    # Devanagari 1:1 (vowel signs map BEFORE the NFD strip both sides)
+    ("ई", "i"), ("ि", "i"), ("ी", "i"), ("े", "e"), ("ा", "a"),
+    ("१", "1"), ("२", "2"), ("३", "3"),
+    # Thai 1:1
+    ("ก", "k"), ("ร", "r"), ("ุ", "u"), ("เ", "e"), ("ย", "y"),
+    ("ส", "s"), ("ว", "w"), ("ั", "a"), ("ด", "d"), ("ี", "i"),
+    ("บ", "b"),
 ]
 # CONTEXT-SENSITIVE rows (round 7): German-routed suffixes where the de
 # convention (ü→ue / ö→oe / ä→ae / ß→ss, reference: language-specific

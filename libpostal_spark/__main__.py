@@ -61,6 +61,19 @@ def main(argv: list[str] | None = None) -> int:
         help="fold non-ASCII Latin identifiers to ASCII (CLDR Latin-ASCII "
         "analog) before tokenization",
     )
+    p.add_argument(
+        "--fold-spelled-numbers",
+        action="store_true",
+        help="numex: fold spelled-out numbers to digits before hashing "
+        "('three hundred twenty one' -> 321; src/numex.c analog)",
+    )
+    p.add_argument(
+        "--numex-lang",
+        default="en",
+        choices=["en", "fr", "de", "es"],
+        help="numex rule-table language (the reference applies the table "
+        "of the language in effect; fr/de/es added in round 7)",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
         "--parse-address-col",
@@ -106,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
         jaccard_threshold=args.jaccard_threshold,
         token_expansions=expansions,
         transliterate=args.transliterate,
+        fold_spelled_numbers=args.fold_spelled_numbers,
+        numex_lang=args.numex_lang,
         seed=args.seed,
     )
     spark = get_spark(app_name="libpostal_spark_job", master=args.master)

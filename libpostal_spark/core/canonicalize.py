@@ -266,9 +266,54 @@ def han_fold_coverage(text: str) -> tuple[int, int]:
                 folded += 1
     return folded, total
 
+# Devanagari → Latin (simplified Hunterian-style, context-free per char:
+# consonants carry their inherent 'a', matras/vowel signs map to plain
+# vowels — long/short merged — and the virama/nukta drop, so क्रम folds
+# "karama" not "krama": the same lossy-but-deterministic trade as the kana
+# digraphs. Vowel signs and anusvara/visarga are combining marks, but the
+# fold table runs BEFORE the NFD strip, so they map rather than vanish.
+# Devanagari digits fold to ASCII (no compatibility decomposition).
+_DEVANAGARI_FOLD = {
+    "अ": "a", "आ": "aa", "इ": "i", "ई": "i", "उ": "u", "ऊ": "u",
+    "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
+    "ा": "a", "ि": "i", "ी": "i", "ु": "u", "ू": "u", "ृ": "ri",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au",
+    "क": "ka", "ख": "kha", "ग": "ga", "घ": "gha", "ङ": "nga",
+    "च": "cha", "छ": "chha", "ज": "ja", "झ": "jha", "ञ": "nya",
+    "ट": "ta", "ठ": "tha", "ड": "da", "ढ": "dha", "ण": "na",
+    "त": "ta", "थ": "tha", "द": "da", "ध": "dha", "न": "na",
+    "प": "pa", "फ": "pha", "ब": "ba", "भ": "bha", "म": "ma",
+    "य": "ya", "र": "ra", "ल": "la", "व": "va", "श": "sha",
+    "ष": "sha", "स": "sa", "ह": "ha",
+    "ं": "n", "ः": "h", "ँ": "n", "्": "", "़": "", "।": " ",
+    "०": "0", "१": "1", "२": "2", "३": "3", "४": "4",
+    "५": "5", "६": "6", "७": "7", "८": "8", "९": "9",
+}
+# Thai → Latin (simplified RTGS-style, context-free: initial/final
+# consonant distinctions and vowel length merged; tone marks are combining
+# and deliberately NOT in the table — they carry no segmental value and
+# ride the NFD strip; preposed vowels (เ แ โ ใ ไ) fold in code-point
+# order, another documented context-free loss). Thai digits fold to ASCII.
+_THAI_FOLD = {
+    "ก": "k", "ข": "kh", "ค": "kh", "ฆ": "kh", "ง": "ng",
+    "จ": "ch", "ฉ": "ch", "ช": "ch", "ซ": "s", "ฌ": "ch", "ญ": "y",
+    "ฎ": "d", "ฏ": "t", "ฐ": "th", "ฑ": "th", "ฒ": "th", "ณ": "n",
+    "ด": "d", "ต": "t", "ถ": "th", "ท": "th", "ธ": "th", "น": "n",
+    "บ": "b", "ป": "p", "ผ": "ph", "ฝ": "f", "พ": "ph", "ฟ": "f",
+    "ภ": "ph", "ม": "m", "ย": "y", "ร": "r", "ล": "l", "ว": "w",
+    "ศ": "s", "ษ": "s", "ส": "s", "ห": "h", "ฬ": "l", "อ": "o",
+    "ฮ": "h",
+    "ะ": "a", "ั": "a", "า": "a", "ำ": "am", "ิ": "i", "ี": "i",
+    "ึ": "ue", "ื": "ue", "ุ": "u", "ู": "u", "็": "",
+    "เ": "e", "แ": "ae", "โ": "o", "ใ": "ai", "ไ": "ai", "ๆ": "",
+    "๐": "0", "๑": "1", "๒": "2", "๓": "3", "๔": "4",
+    "๕": "5", "๖": "6", "๗": "7", "๘": "8", "๙": "9",
+}
+
 _FOLD_TRANS = str.maketrans(
     {**_LATIN_FOLD, **_CYRILLIC_FOLD, **_GREEK_FOLD, **_ARABIC_FOLD,
-     **_HEBREW_FOLD, **_KANA_FOLD, **_hangul_fold(), **_HAN_FOLD}
+     **_HEBREW_FOLD, **_KANA_FOLD, **_hangul_fold(), **_HAN_FOLD,
+     **_DEVANAGARI_FOLD, **_THAI_FOLD}
 )
 
 

@@ -121,6 +121,7 @@ def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
                 transliterate=cfg.transliterate,
                 fold_spelled_numbers=cfg.fold_spelled_numbers,
                 fold_roman=cfg.fold_roman_numerals,
+                numex_lang=cfg.numex_lang,
             )
             f = featurize(canon, cfg)
             out = {
@@ -168,6 +169,7 @@ def make_band_keys_udf(cfg: PipelineConfig, n_bands: int):
                 transliterate=cfg.transliterate,
                 fold_spelled_numbers=cfg.fold_spelled_numbers,
                 fold_roman=cfg.fold_roman_numerals,
+                numex_lang=cfg.numex_lang,
             )
             yield pd.Series(list(featurize_bands(canon, cfg, n_bands)))
 

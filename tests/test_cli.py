@@ -147,10 +147,10 @@ def test_cli_iceberg_requires_runtime_jar(tmp_path):
     BLOCKED by the sandbox itself: no package installs are permitted and
     the sandbox has no network route (DNS resolution to Maven Central
     fails — verified 2026-08-17, `curl: Could not resolve host:
-    repo1.maven.org`; re-verified 2026-08-18: no iceberg/delta/hudi jar
-    exists anywhere on disk — `find / -name '*iceberg*'`, `~/.m2`,
-    `~/.ivy2`, and the pyspark jars dir are all empty of table-format
-    runtimes). The exact artifact
+    repo1.maven.org`; re-verified 2026-08-18 in rounds 6 AND 7: no
+    iceberg/delta/hudi jar exists anywhere on disk — `find / -name
+    '*iceberg*'`, `~/.m2`, `~/.ivy2`, and the pyspark jars dir are all
+    empty of table-format runtimes). The exact artifact
     needed for this pyspark (4.x, Scala 2.13) is
     ``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` (latest release
     line; 3.5_2.12 for a Spark 3.5 cluster) dropped into

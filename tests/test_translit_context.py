@@ -64,3 +64,22 @@ def test_han_coverage_counts_only_han():
     assert han_fold_coverage("no han at all") == (0, 0)
     f, t = han_fold_coverage("北京 unknown 㐀")
     assert t == 3 and f == 2
+
+
+def test_devanagari_thai_folds():
+    """Scripts 9-10 (round 7): context-free Devanagari (inherent 'a' on
+    consonants, virama deletion — क्रम→karama is the documented trade) and
+    RTGS-style Thai (tone marks ride the NFD strip; preposed vowels fold
+    in code-point order). Digits of both scripts fold to ASCII."""
+    cases = [
+        ("नमस्ते भारत", "namasatae bhaarata"),
+        ("नई दिल्ली १२३", "nai dailalai 123"),
+        ("क्रम", "karama"),
+        ("กรุงเทพ ไทย", "krungethph aithy"),
+        ("สวัสดี ครับ", "swasdi khrab"),
+        ("๔๕", "45"),
+    ]
+    for src, want in cases:
+        assert latin_ascii_fold_one(src) == want, src
+    # Thai tone marks carry no segmental value: stripped, not folded
+    assert latin_ascii_fold_one("ค่ะ") == latin_ascii_fold_one("คะ")
