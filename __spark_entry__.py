@@ -790,16 +790,52 @@ _NUMEX_PHRASES_ML = [("en", p, o) for p, o in _NUMEX_PHRASES] + [
     ("es", "cero errores", "0 errores"),
     ("es", "sin numeros aqui", "sin numeros aqui"),
     ("es", "un millón de habitantes", "1000000 de habitantes"),
+    # second table set (core/numex_ml2.py): Italian compound tokens with
+    # vowel elision, Portuguese 'e'-connective chains, Dutch 'en'-compounds,
+    # Russian additive runs — the Russian rows enter in CYRILLIC and the
+    # expected folds are the ROMANIZED digits+words because the non-en
+    # rows run with transliterate=True (Cyrillic folds to Latin upstream,
+    # then the dual-keyed ru tables parse the romanization)
+    ("it", "ventuno finestre sul mare", "21 finestre sul mare"),
+    ("it", "millenovecentonovantaquattro", "1994"),
+    ("it", "il ventesimo secolo", "il 20 secolo"),
+    ("it", "duemilacinquecento metri", "2500 metri"),
+    ("it", "centottanta gradi", "180 gradi"),
+    ("it", "ventitré gradi", "23 gradi"),
+    ("it", "due milioni trecento", "2000300"),
+    ("it", "nessun numero qui", "nessun numero qui"),
+    ("pt", "vinte e dois carros", "22 carros"),
+    ("pt", "cento e vinte e três", "123"),
+    ("pt", "mil novecentos e noventa e nove", "1999"),
+    ("pt", "quinhentos e quarenta e três", "543"),
+    ("pt", "o primeiro andar", "o 1 andar"),
+    ("pt", "um milhão de habitantes", "1000000 de habitantes"),
+    ("pt", "sem números aqui", "sem numeros aqui"),
+    ("nl", "eenentwintig ramen", "21 ramen"),
+    ("nl", "tweeduizendtien", "2010"),
+    ("nl", "driehonderdvijfentwintig huizen", "325 huizen"),
+    ("nl", "tweeëntwintig stoelen", "22 stoelen"),
+    ("nl", "de eerste straat links", "de 1 straat links"),
+    ("nl", "twee miljoen inwoners", "2000000 inwoners"),
+    ("nl", "geen nummer hier", "geen nummer hier"),
+    ("ru", "сто двадцать три дома", "123 doma"),
+    ("ru", "две тысячи десять", "2010"),
+    ("ru", "первый этаж", "1 etazh"),
+    ("ru", "двадцать первый век", "21 vek"),
+    ("ru", "тысяча девятьсот восемьдесят четыре", "1984"),
+    ("ru", "два миллиона жителей", "2000000 zhiteley"),
+    ("ru", "нет чисел здесь", "net chisel zdes"),
 ]
-_NUMEX_LANGS = ("en", "fr", "de", "es")
+_NUMEX_LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "ru")
 
 
 def _q_numex_fold(spark, sf_dir):
     """numex spelled-number + Roman folding through the canonicalize UDF in
-    all four rule-table languages: each doc folds a deterministic golden
-    phrase (doc_id % K) with the folder routed by the phrase's language —
-    the analog of the reference applying the numex table of the language
-    in effect."""
+    all EIGHT rule-table languages (en/fr/de/es + it/pt/nl/ru): each doc
+    folds a deterministic golden phrase (doc_id % K) with the folder routed
+    by the phrase's language — the analog of the reference applying the
+    numex table of the language in effect (src/numex.c:1260, per-language
+    data src/numex_data.c)."""
     n = len(_NUMEX_PHRASES_ML)
     arr = F.array(*[F.lit(p) for _, p, _ in _NUMEX_PHRASES_ML])
     larr = F.array(*[F.lit(l) for l, _, _ in _NUMEX_PHRASES_ML])
@@ -815,12 +851,10 @@ def _q_numex_fold(spark, sf_dir):
         )
         for l in _NUMEX_LANGS
     }
-    folded = (
-        F.when(lang == "en", udfs["en"](phrase))
-        .when(lang == "fr", udfs["fr"](phrase))
-        .when(lang == "de", udfs["de"](phrase))
-        .otherwise(udfs["es"](phrase))
-    )
+    folded = F.when(lang == _NUMEX_LANGS[0], udfs[_NUMEX_LANGS[0]](phrase))
+    for l in _NUMEX_LANGS[1:-1]:
+        folded = folded.when(lang == l, udfs[l](phrase))
+    folded = folded.otherwise(udfs[_NUMEX_LANGS[-1]](phrase))
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         lang.alias("lang"),

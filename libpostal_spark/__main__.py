@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--numex-lang",
         default="en",
-        choices=["en", "fr", "de", "es"],
+        choices=["en", "fr", "de", "es", "it", "pt", "nl", "ru"],
         help="numex rule-table language (the reference applies the table "
         "of the language in effect; fr/de/es added in round 7)",
     )

@@ -224,7 +224,12 @@ def fold_spelled_numbers_batch(
     if lang != "en":
         from .numex_ml import LANG_FOLDERS
 
-        folder, prefilter = LANG_FOLDERS[lang]
+        if lang in LANG_FOLDERS:
+            folder, prefilter = LANG_FOLDERS[lang]
+        else:
+            from .numex_ml2 import LANG_FOLDERS2
+
+            folder, prefilter = LANG_FOLDERS2[lang]
         probe = joined.str.normalize("NFD").str.replace(
             "[\u0300-\u036f]", "", regex=True
         )

@@ -519,3 +519,6 @@ LANG_FOLDERS = {
     "de": (fold_de, _DE_PREFILTER),
     "es": (fold_es, _prefilter(_ES_ALL)),
 }
+# the second table set (it/pt/nl/ru) lives in core/numex_ml2.py; the
+# dispatch in core/numex.py merges both (importing it here would cycle:
+# numex_ml2 uses this module's _fold_accents/_prefilter)
