@@ -80,28 +80,60 @@ COUNTRIES = ["africa", "america", "asia", "europe", "middle east"]
 
 BOS = "<s>"
 EOS = "</s>"
-NUM = "<num>"
 FIT_ITERS = 10
+
+# the address-dictionary road-kind layer (full forms + the gazetteer's
+# abbreviated variants) — membership, not identity, is the feature, so
+# "st" seen in training generalizes to "street" and vice versa (the
+# reference's dictionary phrase features, address_parser.c:1020-1023
+# "phrase type+phrase" over src/address_dictionary.c entries)
+ROAD_KIND_ABBREV = {"road": "rd", "street": "st", "avenue": "ave",
+                    "lane": "ln"}
+_ROAD_KIND_DICT = frozenset(ROAD_KINDS) | frozenset(ROAD_KIND_ABBREV.values())
+_CITY_DICT = frozenset(CITIES)
 
 
 def _norm(tok: str) -> str:
-    # digit normalization: number IDENTITY never carries signal (the
-    # reference likewise maps digit runs to a D+ shape feature,
-    # address_parser.c normalize_string w/ digit folding)
-    return NUM if tok.isdigit() else tok
+    # digit normalization: number IDENTITY never carries signal, but the
+    # LENGTH SHAPE does — the reference replaces each digit with 'D'
+    # preserving length ("10013 => DDDDD", src/normalize.h:66-67, applied
+    # via NORMALIZE_TOKEN_REPLACE_DIGITS, src/address_parser.h:66), which
+    # is what separates 5-digit postcodes from 1-4 digit house numbers
+    # (round 7: was a lossy single <num> sentinel)
+    return "D" * len(tok) if tok.isdigit() else tok
+
+
+def _dict_class(tok: str) -> str:
+    # dictionary membership class (the reference's address-dictionary /
+    # geodb phrase features: "phrase type+phrase" address_parser.c:1020,
+    # "commonly city" :1243); unknown words get the explicit 'none' class
+    if tok in _ROAD_KIND_DICT:
+        return "road_kind"
+    if tok in _CITY_DICT:
+        return "city"
+    return "none"
 
 
 def obs_features(tokens, i: int) -> list[str]:
     """OBSERVATION feature templates (shared by both model types) —
     every value is a plain string concat of token text so the SQL twins
-    can rebuild them verbatim."""
+    can rebuild them verbatim.  Families follow the reference tagger's:
+    word / shape / position / neighbor words (address_parser.c:1443,
+    1496, 1524), dictionary membership (:1020-1023, :1243), and 3-char
+    prefix/suffix (the rare-word character n-gram features, :1425-1433
+    add_ngram_features 3..6 — the repo keeps the single 3-gram, which is
+    what survives a Damerau-distance-1 city typo)."""
     n = len(tokens)
+    w = _norm(tokens[i])
     return [
-        "w=" + _norm(tokens[i]),
+        "w=" + w,
         "shape=" + ("num" if tokens[i].isdigit() else "alpha"),
         "i=0" if i == 0 else ("i=last" if i == n - 1 else "i=mid"),
         "prevw=" + (_norm(tokens[i - 1]) if i > 0 else BOS),
         "nextw=" + (_norm(tokens[i + 1]) if i < n - 1 else EOS),
+        "dict=" + _dict_class(tokens[i]),
+        "pre3=" + w[:3],
+        "suf3=" + w[-3:],
     ]
 
 
@@ -197,8 +229,6 @@ def training_examples() -> list[tuple[list[str], list[str]]]:
 # (no RNG anywhere, same as the grid itself); the held-out split uses a
 # different modulus so no failure mode correlates with the split.
 
-ROAD_KIND_ABBREV = {"road": "rd", "street": "st", "avenue": "ave",
-                    "lane": "ln"}
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
@@ -515,16 +545,19 @@ def _scaffold_sql(w_vals: str) -> str:
           SELECT id, unnest(generate_series(1, n)) AS i FROM tk
         ),
         ctx AS (
-          SELECT p.id, p.i, t.n,
-            CASE WHEN {_ISNUM.format('t.ts[p.i]')} THEN '{NUM}'
+          SELECT p.id, p.i, t.n, t.ts[p.i] AS rw,
+            CASE WHEN {_ISNUM.format('t.ts[p.i]')}
+                 THEN repeat('D', length(t.ts[p.i]))
                  ELSE t.ts[p.i] END AS nw,
             CASE WHEN {_ISNUM.format('t.ts[p.i]')} THEN 'num'
                  ELSE 'alpha' END AS sh,
             CASE WHEN p.i = 1 THEN '{BOS}'
-                 WHEN {_ISNUM.format('t.ts[p.i - 1]')} THEN '{NUM}'
+                 WHEN {_ISNUM.format('t.ts[p.i - 1]')}
+                 THEN repeat('D', length(t.ts[p.i - 1]))
                  ELSE t.ts[p.i - 1] END AS pw,
             CASE WHEN p.i = t.n THEN '{EOS}'
-                 WHEN {_ISNUM.format('t.ts[p.i + 1]')} THEN '{NUM}'
+                 WHEN {_ISNUM.format('t.ts[p.i + 1]')}
+                 THEN repeat('D', length(t.ts[p.i + 1]))
                  ELSE t.ts[p.i + 1] END AS nx
           FROM pos p JOIN tk t USING (id)
         ),
@@ -533,7 +566,15 @@ def _scaffold_sql(w_vals: str) -> str:
             'w=' || nw, 'shape=' || sh,
             CASE WHEN i = 1 THEN 'i=0'
                  WHEN i = n THEN 'i=last' ELSE 'i=mid' END,
-            'prevw=' || pw, 'nextw=' || nx]) AS f
+            'prevw=' || pw, 'nextw=' || nx,
+            'dict=' || CASE
+              WHEN rw IN ({",".join(_q(v) for v in sorted(_ROAD_KIND_DICT))})
+                THEN 'road_kind'
+              WHEN rw IN ({",".join(_q(v) for v in sorted(_CITY_DICT))})
+                THEN 'city'
+              ELSE 'none' END,
+            'pre3=' || substr(nw, 1, 3),
+            'suf3=' || right(nw, 3)]) AS f
           FROM ctx
         ),
         wt(f, tid, w) AS (VALUES {w_vals}),

@@ -172,15 +172,18 @@ def test_noisy_heldout_accuracy_is_a_signal():
     typos at Damerau distance 1) held-out accuracy is a real model-quality
     signal, not a separability artifact. Fully deterministic, so the
     numbers are pinned exactly — they are the BASELINE.md accuracy table.
-    Notably greedy (with its prev-tag×word conjunctions) beats the
-    obs+transition CRF here, mirroring the reference's own choice of the
-    averaged perceptron as the production model."""
+    With the base feature set (single <num> digit sentinel, no dictionary
+    or character features) the same eval read greedy 0.9714/0.8233 and CRF
+    0.9622/0.8000; the reference-parity features (length-preserving D
+    digit shapes src/normalize.h:66, dictionary membership
+    address_parser.c:1020, pre/suf 3-grams :1425) close the noise gap to
+    0.9967 full-parse for BOTH model types — the reference's own reported
+    regime (99.45%, README.md:685)."""
     ev = P.noisy_eval()
     assert ev["n_train"] == 1200 and ev["n_heldout"] == 300
-    assert ev["greedy"] == {"token_acc": 0.9714, "seq_acc": 0.8233}
-    assert ev["crf"] == {"token_acc": 0.9622, "seq_acc": 0.8}
-    # both are genuinely sub-1.0 (signal) and well above the majority-tag
-    # floor (learning)
+    assert ev["greedy"] == {"token_acc": 0.9995, "seq_acc": 0.9967}
+    assert ev["crf"] == {"token_acc": 0.9995, "seq_acc": 0.9967}
+    # still genuinely sub-1.0 (signal) and far above the majority-tag floor
     for m in ("greedy", "crf"):
         assert 0.9 < ev[m]["token_acc"] < 1.0
 
