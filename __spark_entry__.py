@@ -825,17 +825,37 @@ _NUMEX_PHRASES_ML = [("en", p, o) for p, o in _NUMEX_PHRASES] + [
     ("ru", "тысяча девятьсот восемьдесят четыре", "1984"),
     ("ru", "два миллиона жителей", "2000000 zhiteley"),
     ("ru", "нет чисел здесь", "net chisel zdes"),
+    # third table set (core/numex_cjk.py): Han positional-multiplicative
+    # numerals — zh/ja run with transliterate=False (the pinyin fold
+    # would consume the numerals first), so the expected folds keep every
+    # non-numeral Han char as its own token (the per-char tokenizer)
+    ("zh", "二十三 度", "23 度"),
+    ("zh", "二千十年 竣工", "2010 年 竣 工"),
+    ("zh", "第三 号 楼", "3 号 楼"),
+    ("zh", "共 三万五千 件", "共 35000 件"),
+    ("zh", "两千 人", "2000 人"),
+    ("zh", "一九八四 年", "1984 年"),
+    ("zh", "没有 数字", "没 有 数 字"),
+    ("ja", "三番目 の 建物", "3 の 建 物"),
+    ("ja", "二十三 円", "23 円"),
+    ("ja", "二千十年", "2010 年"),
+    ("ja", "三億 人", "300000000 人"),
+    ("ja", "百五 号室", "105 号 室"),
+    ("ja", "一九八四 年", "1984 年"),
+    ("ja", "数字 なし", "数 字 な し"),
 ]
-_NUMEX_LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "ru")
+_NUMEX_LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "ru", "zh", "ja")
 
 
 def _q_numex_fold(spark, sf_dir):
     """numex spelled-number + Roman folding through the canonicalize UDF in
-    all EIGHT rule-table languages (en/fr/de/es + it/pt/nl/ru): each doc
-    folds a deterministic golden phrase (doc_id % K) with the folder routed
-    by the phrase's language — the analog of the reference applying the
-    numex table of the language in effect (src/numex.c:1260, per-language
-    data src/numex_data.c)."""
+    all TEN rule-table languages (en/fr/de/es + it/pt/nl/ru + zh/ja): each
+    doc folds a deterministic golden phrase (doc_id % K) with the folder
+    routed by the phrase's language — the analog of the reference applying
+    the numex table of the language in effect (src/numex.c:1260,
+    per-language data src/numex_data.c; the zh/ja Han-numeral tables are
+    the set's first non-alphabetic grammars and run without the
+    transliterate stage)."""
     n = len(_NUMEX_PHRASES_ML)
     arr = F.array(*[F.lit(p) for _, p, _ in _NUMEX_PHRASES_ML])
     larr = F.array(*[F.lit(l) for l, _, _ in _NUMEX_PHRASES_ML])
@@ -846,7 +866,9 @@ def _q_numex_fold(spark, sf_dir):
         l: make_canonicalize_udf(
             fold_spelled_numbers=True,
             fold_roman=True,
-            transliterate=(l != "en"),
+            # zh/ja must skip the transliterate stage: the Han-pinyin fold
+            # would rewrite the numerals to romaji/pinyin before numex
+            transliterate=(l not in ("en", "zh", "ja")),
             numex_lang=l,
         )
         for l in _NUMEX_LANGS

@@ -70,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--numex-lang",
         default="en",
-        choices=["en", "fr", "de", "es", "it", "pt", "nl", "ru"],
+        choices=["en", "fr", "de", "es", "it", "pt", "nl", "ru", "zh",
+                 "ja"],
         help="numex rule-table language (the reference applies the table "
         "of the language in effect; fr/de/es added in round 7)",
     )

@@ -56,9 +56,11 @@ class PipelineConfig:
     fold_spelled_numbers: bool = False
     fold_roman_numerals: bool = False
     # numex rule-table language: "en" (core/numex.py), "fr"/"de"/"es"
-    # (core/numex_ml.py), or "it"/"pt"/"nl"/"ru" (core/numex_ml2.py) —
-    # the reference applies the table of the language in effect
-    # (src/numex.c:1260, data src/numex_data.c)
+    # (core/numex_ml.py), "it"/"pt"/"nl"/"ru" (core/numex_ml2.py), or
+    # "zh"/"ja" (core/numex_cjk.py — Han numerals; run with
+    # transliterate=False so the pinyin fold doesn't consume the
+    # numerals first) — the reference applies the table of the language
+    # in effect (src/numex.c:1260, data src/numex_data.c)
     numex_lang: str = "en"
 
     # --- verify (analog of is_dupe thresholds, src/libpostal.c:185-193) ---

@@ -227,9 +227,13 @@ def fold_spelled_numbers_batch(
         if lang in LANG_FOLDERS:
             folder, prefilter = LANG_FOLDERS[lang]
         else:
+            from .numex_cjk import LANG_FOLDERS_CJK
             from .numex_ml2 import LANG_FOLDERS2
 
-            folder, prefilter = LANG_FOLDERS2[lang]
+            if lang in LANG_FOLDERS2:
+                folder, prefilter = LANG_FOLDERS2[lang]
+            else:
+                folder, prefilter = LANG_FOLDERS_CJK[lang]
         probe = joined.str.normalize("NFD").str.replace(
             "[\u0300-\u036f]", "", regex=True
         )
