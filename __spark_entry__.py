@@ -342,11 +342,40 @@ _TRANSLIT_DE_SUFFIXES = [
     "GrößeÜberFünf",
     "schön für Übermut",
     "Köln Düsseldorf Straßenbahn",
+    "MÜNCHEN HBF ÜBERFÜHRUNG",        # all-caps: UE form, runs stay intact
 ]
-_TRANSLIT_DE_MAP = [
-    ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"),
-    ("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss"),
+# (uppercase source, Title digraph before a lowercase char, CAPS digraph
+# otherwise) — the CLDR-style case-context rule (Über→Ueber, ÜBER→UEBER)
+_TRANSLIT_DE_CTX = [("Ä", "Ae", "AE"), ("Ö", "Oe", "OE"), ("Ü", "Ue", "UE")]
+_TRANSLIT_DE_LOWER = [("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss")]
+# Danish/Norwegian arm (late round 7): the æ/ø/å digraph convention must
+# beat the generic strip (København→koebenhavn, NOT kobenhavn; blåbær→
+# blaabaer). Swedish stays on the generic arm BY CONVENTION (å→a ä→a
+# ö→o is the Swedish romanization), so the routed-vs-generic contrast is
+# itself the tested semantic.
+_TRANSLIT_DA_SUFFIXES = [
+    "København Ærø",
+    "SMØRREBRØD på blåbær",           # all-caps word: OE form, no fragmenting
+    "Århus smørrebrød",
 ]
+_TRANSLIT_DA_CTX = [("Æ", "Ae", "AE"), ("Ø", "Oe", "OE"), ("Å", "Aa", "AA")]
+_TRANSLIT_DA_LOWER = [("æ", "ae"), ("ø", "oe"), ("å", "aa")]
+# the "following char is lowercase" context class, over the injected
+# suffix alphabet (an independent re-derivation of str.islower for it)
+_TRANSLIT_CTX_LOWER_CLASS = "a-zäöüßæøå"
+
+
+def _digraph_arm_sql(expr: str, ctx, lower) -> str:
+    """SQL re-derivation of the case-context digraph layer: each uppercase
+    source folds to its Title digraph when captured before a lowercase
+    char, to the CAPS digraph otherwise; lowercase sources fold flat."""
+    for u, title, caps in ctx:
+        expr = (f"regexp_replace({expr}, '{u}([{_TRANSLIT_CTX_LOWER_CLASS}])'"
+                f", '{title}\\1', 'g')")
+        expr = f"replace({expr}, '{u}', '{caps}')"
+    for a, b in lower:
+        expr = f"replace({expr}, {_sql_quote(a)}, {_sql_quote(b)})"
+    return expr
 
 
 def _q_canonicalize_translit_ext(spark, sf_dir):
@@ -359,17 +388,22 @@ def _q_canonicalize_translit_ext(spark, sf_dir):
     /root/reference/src/transliterate.c:669)."""
     canon_udf = make_canonicalize_udf(transliterate=True)
     de_udf = make_canonicalize_udf(transliterate=True, translit_lang="de")
-    suffixes = _TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+    da_udf = make_canonicalize_udf(transliterate=True, translit_lang="da")
+    suffixes = (_TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+                + _TRANSLIT_DA_SUFFIXES)
     n_generic = len(_TRANSLIT_EXT_SUFFIXES)
+    n_de_end = n_generic + len(_TRANSLIT_DE_SUFFIXES)
     arr = F.array(*[F.lit(s) for s in suffixes])
     idx0 = F.pmod(F.col("doc_id").cast("long"), F.lit(len(suffixes)))
     decorated = F.concat(
         F.col("text"), F.lit(" "), F.element_at(arr, (idx0 + 1).cast("int"))
     )
-    # de-tagged rows run the context-sensitive German transliterator (the
+    # de-/da-tagged rows run their context-sensitive transliterator (the
     # reference's per-language rule precedence); the rest run generic
-    canon = F.when(idx0 >= n_generic, de_udf(decorated)).otherwise(
-        canon_udf(decorated)
+    canon = (
+        F.when(idx0 >= n_de_end, da_udf(decorated))
+        .when(idx0 >= n_generic, de_udf(decorated))
+        .otherwise(canon_udf(decorated))
     )
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -383,9 +417,11 @@ def _translit_ext_sql() -> str:
     strips + one translate for the 1:1 letters) feeding the shared canon
     expression. A fold-table or NFD-strip bug in the new scripts breaks
     the hash."""
-    suffixes = _TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+    suffixes = (_TRANSLIT_EXT_SUFFIXES + _TRANSLIT_DE_SUFFIXES
+                + _TRANSLIT_DA_SUFFIXES)
     n = len(suffixes)
     n_generic = len(_TRANSLIT_EXT_SUFFIXES)
+    n_de_end = n_generic + len(_TRANSLIT_DE_SUFFIXES)
     suffix = _case_by_doc_id([_sql_quote(x) for x in suffixes], n)
     folded = f"(text || ' ' || {suffix})"
     for a, b in _TRANSLIT_EXT_MULTI:
@@ -393,11 +429,15 @@ def _translit_ext_sql() -> str:
     frm = "".join(a for a, _ in _TRANSLIT_EXT_ONE)
     to = "".join(b for _, b in _TRANSLIT_EXT_ONE)
     folded = f"translate({folded}, {_sql_quote(frm)}, {_sql_quote(to)})"
-    # de arm: the umlaut-digraph convention replaces BEFORE the shared
-    # canon expression (independent re-derivation of _LANG_PRE_FOLD)
-    de_folded = f"(text || ' ' || {suffix})"
-    for a, b in _TRANSLIT_DE_MAP:
-        de_folded = f"replace({de_folded}, {_sql_quote(a)}, {_sql_quote(b)})"
+    # de/da arms: each language's case-context digraph convention replaces
+    # BEFORE the shared canon expression (independent re-derivations of
+    # _LANG_PRE_FOLD's _digraph_pre_fold rule)
+    de_folded = _digraph_arm_sql(
+        f"(text || ' ' || {suffix})", _TRANSLIT_DE_CTX, _TRANSLIT_DE_LOWER
+    )
+    da_folded = _digraph_arm_sql(
+        f"(text || ' ' || {suffix})", _TRANSLIT_DA_CTX, _TRANSLIT_DA_LOWER
+    )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                {_canon_expr(folded)} AS canon
@@ -408,6 +448,12 @@ def _translit_ext_sql() -> str:
                {_canon_expr(de_folded)} AS canon
         FROM documents
         WHERE CAST(doc_id AS BIGINT) % {n} >= {n_generic}
+          AND CAST(doc_id AS BIGINT) % {n} < {n_de_end}
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_canon_expr(da_folded)} AS canon
+        FROM documents
+        WHERE CAST(doc_id AS BIGINT) % {n} >= {n_de_end}
     """
 
 

@@ -325,12 +325,49 @@ _FOLD_TRANS = str.maketrans(
 # (München→Muenchen), where the generic context-free fold would strip the
 # trema (München→Munchen). Upper-case forms map to title-case digraphs so
 # camel boundaries survive ("ÜberCount"→"UeberCount"→"ueber count").
+def _digraph_pre_fold(lower_map: dict, upper_map: dict):
+    """Case-context digraph folder (the CLDR de-ASCII rule shape the
+    reference's engine executes, src/transliterate.c:669): an uppercase
+    source letter folds to its Title-case digraph when the FOLLOWING
+    character is lowercase (Über→Ueber) and to the all-caps digraph
+    otherwise (ÜBER→UEBER, so all-caps words neither fragment at the
+    camel splitter nor lose their run)."""
+    chars = frozenset(lower_map) | frozenset(upper_map)
+
+    def fold(s: str) -> str:
+        out = []
+        for i, ch in enumerate(s):
+            if ch not in chars:
+                out.append(ch)
+            elif ch in lower_map:
+                out.append(lower_map[ch])
+            else:
+                title, caps = upper_map[ch]
+                nxt = s[i + 1] if i + 1 < len(s) else ""
+                out.append(title if nxt.islower() else caps)
+        return "".join(out)
+
+    return fold
+
+
 _LANG_PRE_FOLD = {
-    "de": str.maketrans(
-        {"ä": "ae", "ö": "oe", "ü": "ue", "Ä": "Ae", "Ö": "Oe", "Ü": "Ue",
-         "ß": "ss"}
+    # German umlaut/eszett convention
+    "de": _digraph_pre_fold(
+        {"ä": "ae", "ö": "oe", "ü": "ue", "ß": "ss"},
+        {"Ä": ("Ae", "AE"), "Ö": ("Oe", "OE"), "Ü": ("Ue", "UE")},
+    ),
+    # Danish/Norwegian digraph convention (æ→ae ø→oe å→aa).  Swedish gets
+    # NO layer on purpose: its romanization convention is the plain strip
+    # (å→a ä→a ö→o), which is exactly what the generic fold produces.
+    "da": _digraph_pre_fold(
+        {"æ": "ae", "ø": "oe", "å": "aa"},
+        {"Æ": ("Ae", "AE"), "Ø": ("Oe", "OE"), "Å": ("Aa", "AA")},
     ),
 }
+# Bokmål/Nynorsk share the Danish convention
+_LANG_PRE_FOLD["no"] = _LANG_PRE_FOLD["nb"] = _LANG_PRE_FOLD["nn"] = (
+    _LANG_PRE_FOLD["da"]
+)
 
 
 def latin_ascii_fold_one(s: str, lang: str | None = None) -> str:
@@ -347,7 +384,7 @@ def latin_ascii_fold_one(s: str, lang: str | None = None) -> str:
     idempotent on anything the first already folded."""
     pre = _LANG_PRE_FOLD.get(lang or "")
     if pre is not None:
-        s = s.translate(pre)
+        s = pre(s)
     s = s.translate(_FOLD_TRANS)
     d = unicodedata.normalize("NFD", s)
     d = "".join(ch for ch in d if not unicodedata.combining(ch))

@@ -83,3 +83,41 @@ def test_devanagari_thai_folds():
         assert latin_ascii_fold_one(src) == want, src
     # Thai tone marks carry no segmental value: stripped, not folded
     assert latin_ascii_fold_one("ค่ะ") == latin_ascii_fold_one("คะ")
+
+
+def test_da_context_beats_generic_fold():
+    """Danish/Norwegian digraph convention (late round 7): æ→ae ø→oe
+    å→aa under da/no routing — the generic path strips to a/o/a (which
+    IS the Swedish convention, so sv deliberately has no layer)."""
+    cases = [
+        ("København Ærø", "Koebenhavn Aeroe"),
+        ("blåbær smørrebrød", "blaabaer smoerrebroed"),
+        ("Århus", "Aarhus"),
+    ]
+    for src, want in cases:
+        assert latin_ascii_fold_one(src, "da") == want, src
+        for alias in ("no", "nb", "nn"):
+            assert latin_ascii_fold_one(src, alias) == want, (src, alias)
+    # generic (= Swedish convention): plain strip, no digraphs
+    assert latin_ascii_fold_one("blåbär ängsö") == "blabar angso"
+    assert latin_ascii_fold_one("København Ærø") == "Kobenhavn AEro"
+
+
+def test_da_context_through_canonicalizer():
+    got = list(canonicalize_batch(
+        pd.Series(["Århus SMØRREBRØD blåbær"]),
+        transliterate=True, translit_lang="da"))
+    assert got == ["aarhus smoerrebroed blaabaer"]
+
+
+def test_case_context_digraphs():
+    """The CLDR-style case-context rule: Title digraph before a lowercase
+    char, CAPS digraph otherwise — all-caps words keep one unbroken run
+    through the camel splitter instead of fragmenting."""
+    assert latin_ascii_fold_one("Über ÜBER Ü", "de") == "Ueber UEBER UE"
+    assert latin_ascii_fold_one("MÜNCHEN", "de") == "MUENCHEN"
+    assert latin_ascii_fold_one("SMØRREBRØD", "da") == "SMOERREBROED"
+    got = list(canonicalize_batch(
+        pd.Series(["MÜNCHEN GrößeÜberFünf"]),
+        transliterate=True, translit_lang="de"))
+    assert got == ["muenchen groesse ueber fuenf"]
