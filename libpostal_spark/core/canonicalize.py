@@ -193,6 +193,20 @@ def _hangul_fold() -> dict:
 # it covers (/root/reference/src/transliterate.c:669). Unlisted hanzi pass
 # through (honest partial coverage).
 _HAN_FOLD = {
+    # round-7 second widening: 48 more everyday single-reading hanzi
+    # (pronouns, body, weather, household, senses; the sample corpus's
+    # remaining single-reading tail 淀关住在浦吹过面先生 — its true
+    # polyphones 的/车/长 stay excluded by policy)
+    "淀": "dian", "关": "guan", "住": "zhu", "在": "zai", "浦": "pu",
+    "吹": "chui", "过": "guo", "面": "mian", "先": "xian", "生": "sheng",
+    "我": "wo", "你": "ni", "他": "ta", "她": "ta", "们": "men",
+    "是": "shi", "不": "bu", "来": "lai", "去": "qu", "时": "shi",
+    "间": "jian", "电": "dian", "话": "hua", "脑": "nao", "网": "wang",
+    "窗": "chuang", "师": "shi", "朋": "peng", "友": "you", "爱": "ai",
+    "手": "shou", "足": "zu", "目": "mu", "耳": "er", "头": "tou",
+    "身": "shen", "体": "ti", "多": "duo", "快": "kuai", "慢": "man",
+    "早": "zao", "晚": "wan", "树": "shu", "草": "cao", "猫": "mao",
+    "狗": "gou", "钢": "gang", "土": "tu",
     "一": "yi", "二": "er", "三": "san", "四": "si", "五": "wu",
     "六": "liu", "七": "qi", "八": "ba", "九": "jiu", "十": "shi",
     "人": "ren", "民": "min", "大": "da", "小": "xiao", "中": "zhong",

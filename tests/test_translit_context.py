@@ -54,7 +54,10 @@ def test_han_head_coverage_measured():
     )
     folded, total = han_fold_coverage(sample)
     assert total > 40
-    assert folded / total >= 0.65          # round-6 head measured ~0.35 here
+    # round-6 head measured ~0.35 here; the round-7 first widening 0.70;
+    # the second widening (301-hanzi head) 0.934 — the remaining tail is
+    # the sample's true polyphones (的/车/长), excluded by policy
+    assert folded / total >= 0.9
     # table hygiene: values are ASCII pinyin, keys are single hanzi
     for k, v in _HAN_FOLD.items():
         assert len(k) == 1 and v.isascii() and v.islower()
