@@ -902,31 +902,24 @@ def _q_numex_fold(spark, sf_dir):
     per-language data src/numex_data.c; the zh/ja Han-numeral tables are
     the set's first non-alphabetic grammars and run without the
     transliterate stage)."""
+    from libpostal_spark.functions.udfs import (
+        make_canonicalize_routed_numex_udf,
+    )
+
     n = len(_NUMEX_PHRASES_ML)
     arr = F.array(*[F.lit(p) for _, p, _ in _NUMEX_PHRASES_ML])
     larr = F.array(*[F.lit(l) for l, _, _ in _NUMEX_PHRASES_ML])
     idx = (F.pmod(F.col("doc_id").cast("long"), F.lit(n)) + 1).cast("int")
     phrase = F.element_at(arr, idx)
     lang = F.element_at(larr, idx)
-    udfs = {
-        l: make_canonicalize_udf(
-            fold_spelled_numbers=True,
-            fold_roman=True,
-            # zh/ja must skip the transliterate stage: the Han-pinyin fold
-            # would rewrite the numerals to romaji/pinyin before numex
-            transliterate=(l not in ("en", "zh", "ja")),
-            numex_lang=l,
-        )
-        for l in _NUMEX_LANGS
-    }
-    folded = F.when(lang == _NUMEX_LANGS[0], udfs[_NUMEX_LANGS[0]](phrase))
-    for l in _NUMEX_LANGS[1:-1]:
-        folded = folded.when(lang == l, udfs[l](phrase))
-    folded = folded.otherwise(udfs[_NUMEX_LANGS[-1]](phrase))
+    # ONE language-routed UDF (groups by lang inside each Arrow batch) —
+    # a CASE chain of ten per-language UDFs would evaluate every branch's
+    # UDF on every batch (Spark does not short-circuit UDF branches)
+    routed = make_canonicalize_routed_numex_udf()
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         lang.alias("lang"),
-        folded.alias("folded"),
+        routed(phrase, lang).alias("folded"),
     )
 
 

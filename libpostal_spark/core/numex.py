@@ -209,6 +209,14 @@ def fold_spelled_numbers(tokens: list[str], fold_roman: bool = False) -> list[st
     return out
 
 
+# the full rule-table language registry (en here; fr/de/es in numex_ml;
+# it/pt/nl/ru in numex_ml2; zh/ja in numex_cjk) — the per-row router and
+# the CLI choices both key off this
+KNOWN_NUMEX_LANGS = frozenset(
+    ("en", "fr", "de", "es", "it", "pt", "nl", "ru", "zh", "ja")
+)
+
+
 def fold_spelled_numbers_batch(
     joined: pd.Series, fold_roman: bool = False, lang: str = "en"
 ) -> pd.Series:

@@ -92,6 +92,54 @@ def make_canonicalize_udf(
     return canonicalize_udf
 
 
+def make_canonicalize_routed_numex_udf(
+    expansions: dict[str, str] | None = None,
+    fold_numbers: bool = False,
+    fold_roman: bool = True,
+):
+    """(content, lang) -> canon with per-ROW numex-language routing in ONE
+    Arrow UDF — the production analog of the reference applying the numex
+    table of the language IN EFFECT per record (the language classifier's
+    output selects the table, src/numex.c:1260): inside each batch the
+    rows are grouped by their lang value and each group folds vectorized
+    with that language's rule table.  One UDF evaluation per row, however
+    many languages are live — a CASE chain of per-language UDFs would
+    evaluate EVERY branch's UDF on every batch (Spark does not
+    short-circuit UDF branches).
+
+    Per-language stage settings mirror the per-arm harness configs:
+    non-Latin-numeral languages (zh/ja) skip the transliterate stage (the
+    Han-pinyin fold would consume the numerals before numex), English
+    needs no transliteration, every other language runs it.  Unknown lang
+    values fall back to the English table.
+    """
+    from ..core.numex import KNOWN_NUMEX_LANGS
+
+    def _cfg(lv: str) -> dict:
+        lang = lv if lv in KNOWN_NUMEX_LANGS else "en"
+        return dict(
+            expansions=expansions,
+            fold_numbers=fold_numbers,
+            fold_spelled_numbers=True,
+            fold_roman=fold_roman,
+            transliterate=lang not in ("en", "zh", "ja"),
+            numex_lang=lang,
+        )
+
+    @F.pandas_udf(T.StringType())
+    def routed_udf(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for content, lang in it:
+            out = pd.Series("", index=content.index, dtype=object)
+            for lv in lang.fillna("").unique():
+                m = (lang.fillna("") == lv).to_numpy()
+                out[m] = canonicalize_batch(content[m], **_cfg(lv))
+            yield out
+
+    return routed_udf
+
+
 def make_featurize_udf(cfg: PipelineConfig, emit_minhash: bool = False):
     """content:string -> struct(canon + fixed-width signature features).
 
