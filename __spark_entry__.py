@@ -132,7 +132,7 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir)
     if key not in _SIG_CACHE:
-        files = dedup.docs_as_files(_docs(spark, sf_dir))
+        files = _spread(dedup.docs_as_files(_docs(spark, sf_dir)))
         sigs = blocking.signatures(files, _CFG).persist()
         # ONE action both materializes the cache and computes the largest
         # sha256 class — the adaptive-plan gate dup_status_pairs needs —
@@ -155,6 +155,28 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out before an Arrow-UDF-heavy EAGER stage.
+
+    The sf tables are single-row-group parquet files, so every scan is ONE
+    partition and an Arrow UDF over it runs single-task on a 32-core session
+    (guide §2.5 input skew: "one huge unsplittable file … repartition
+    immediately after the read"). Scale-adaptive: when the scan already has
+    >= defaultParallelism partitions (any real-scale table) this is a no-op
+    — no shuffle is ever added at scale. The fan-out is capped at 16 tasks:
+    Arrow kernels need a few hundred rows per batch to stay vectorized, and
+    this substrate's DRAM bandwidth saturates near 8-16 concurrent Python
+    workers (BASELINE.md); A/B at sf0.1: featurize 1.7 s single-task,
+    0.78 s at 8, 0.65 s at 16, 1.47 s at 32. Applied ONLY on paths whose
+    UDF is actually executed by the harness action — a projection-pruned
+    path would pay the exchange and gain nothing."""
+    spark = df.sparkSession
+    n = min(spark.sparkContext.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +524,7 @@ def _q_gazetteer_matches(spark, sf_dir):
     from libpostal_spark.operators.gazetteer import phrase_class_matches
 
     return phrase_class_matches(
-        _gaz_decorated(spark, sf_dir), components=ALL_COMPONENTS
+        _spread(_gaz_decorated(spark, sf_dir)), components=ALL_COMPONENTS
     )
 
 
@@ -987,13 +1009,15 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+    return similarity.cosine_pairs(_spread(_embs(spark, sf_dir)), threshold=0.4)
 
 
 def _q_embedding_clusters(spark, sf_dir):
     """Embedding-cosine near-dup clustering (CC over the exact pair graph
     at sf scale) — the embedding analog of doc_near_dup_clusters."""
-    return similarity.embedding_clusters(_embs(spark, sf_dir), threshold=0.4)
+    return similarity.embedding_clusters(
+        _spread(_embs(spark, sf_dir)), threshold=0.4
+    )
 
 
 def _q_quality(spark, sf_dir):
@@ -1145,7 +1169,10 @@ def _q_langid_logreg(spark, sf_dir):
     voter — see BASELINE.md."""
     from libpostal_spark.functions import logreg as LGR
 
-    docs = _langid_decorated(spark, sf_dir)
+    # spread: the fit's explode/featurize jobs otherwise run single-task
+    # over the one-row-group scan; integer gradient sums are
+    # partitioning-independent, so the weights are unchanged
+    docs = _spread(_langid_decorated(spark, sf_dir))
     model = LGR.fit_spark(docs)
     return LGR.predict_spark(docs, model).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang_pred"
@@ -2280,7 +2307,7 @@ def _ann_sigs(spark, sf_dir, dim: int):
     key = (_session_key(spark), sf_dir)
     if key not in _ANN_SIG_CACHE:
         sigs = similarity.ann_signatures(
-            _embs(spark, sf_dir), dim,
+            _spread(_embs(spark, sf_dir)), dim,
             n_tables=_ANN["n_tables"], n_bits=_ANN["n_bits"], seed=_ANN["seed"],
         ).persist()
         sigs.count()
@@ -2421,7 +2448,7 @@ def _sigs_sha(spark, sf_dir):
 
     key = (_session_key(spark), sf_dir)
     if key not in _SIG_SHA_CACHE:
-        files = dedup.docs_as_files(_docs(spark, sf_dir))
+        files = _spread(dedup.docs_as_files(_docs(spark, sf_dir)))
         sigs = blocking.signatures(files, _cfg_sha(), emit_minhash=True).persist()
         sigs.count()
         _cache_put(_SIG_SHA_CACHE, key, sigs)
@@ -2536,8 +2563,10 @@ def _q_code_clusters(spark, sf_dir):
     # which sf_dir the harness passes (the corpus is not derived from sf
     # data; throughput scaling is bench phase 1's job)
     path = cached_corpus_parquet(n_base=_CODE_N_BASE, seed=_CFG.seed)
-    files = spark.read.parquet(path).select(
-        "repo", "path", "commit", "lang", "content"
+    files = _spread(
+        spark.read.parquet(path).select(
+            "repo", "path", "commit", "lang", "content"
+        )
     )
     res = DedupPipeline(spark, _CFG).run(files)
     return res.clusters.select("fid", "component", "is_canonical")
@@ -2635,7 +2664,13 @@ def _q_streaming_window_stats(spark, sf_dir):
     # agg at 8 and restore the session conf once the memory table is
     # materialized (awaitTermination below), so no other query sees it
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # availableNow + complete mode needs no watermark-advancing empty batch;
+    # skipping it saves one full state-store commit wave per invocation
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             out.writeStream.format("memory")
@@ -2653,6 +2688,9 @@ def _q_streaming_window_stats(spark, sf_dir):
         rows, schema = sink.collect(), sink.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -2703,9 +2741,15 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
     prev_store = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
     )
+    # the NoTimeout stateful detector emits nothing from an empty batch —
+    # skip it and save one RocksDB commit wave across all 8 state partitions
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # RocksDB state store: beat the default HDFS-backed provider in every
     # paired same-window A/B at this width (r7: 7.35/7.73, 5.75/6.97,
     # 5.49/5.70 s) — native store skips the JVM snapshot machinery
@@ -2727,6 +2771,9 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
         rows, sschema = sink.collect(), sink.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         if prev_store is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

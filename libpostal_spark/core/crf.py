@@ -73,11 +73,11 @@ class CRFModel:
 
 def _state_matrix(
     tokens: Sequence[str], state: dict[str, np.ndarray], n_tags: int,
-    feature_fn: ObsFeatureFn,
+    feature_fn: ObsFeatureFn, feats: list[list[str]] | None = None,
 ) -> np.ndarray:
     S = np.zeros((len(tokens), n_tags), dtype=np.int64)
     for t in range(len(tokens)):
-        for f in feature_fn(tokens, t):
+        for f in feats[t] if feats is not None else feature_fn(tokens, t):
             row = state.get(f)
             if row is not None:
                 S[t] += row
@@ -87,10 +87,14 @@ def _state_matrix(
 def viterbi_ids(
     tokens: Sequence[str], state: dict[str, np.ndarray],
     trans: np.ndarray, n_tags: int, feature_fn: ObsFeatureFn,
+    feats: list[list[str]] | None = None,
 ) -> list[int]:
     """The crf_context_viterbi recurrence over int64 scores.  np.argmax
-    picks the first maximum == the reference's strict `<` loops."""
-    S = _state_matrix(tokens, state, n_tags, feature_fn)
+    picks the first maximum == the reference's strict `<` loops.
+    ``feats`` (optional) supplies precomputed per-token observation feature
+    lists — identical to calling ``feature_fn`` per token, just cheaper for
+    the trainer, whose features never change across iterations."""
+    S = _state_matrix(tokens, state, n_tags, feature_fn, feats)
     n = len(tokens)
     V = S[0].copy()
     back = np.zeros((n, n_tags), dtype=np.int64)
@@ -151,24 +155,47 @@ def fit(
         tacc[i, j] += trans[i, j] * (u - tlast[i, j])
         tlast[i, j] = u
 
+    # observation features are history-free (ObsFeatureFn), so each
+    # example's per-token feature lists are loop invariants — compute once
+    # instead of once per iteration (and once more per erroneous token)
+    feats_all = [
+        [feature_fn(tokens, t) for t in range(len(tokens))]
+        for tokens, _ in examples
+    ]
+    golds = [[tid[x] for x in labels] for _, labels in examples]
+    # decode-skip bookkeeping (same scheme as core/perceptron.fit): a clean
+    # Viterbi decode against unchanged (state, trans) would repeat verbatim,
+    # so skip it and advance the token clock only — weights bit-identical.
+    version = 0
+    ex_seen: list[tuple[int, bool]] = [(-1, False)] * len(examples)
+
     for _ in range(iters):
-        for tokens, labels in examples:
-            gold = [tid[x] for x in labels]
-            g = viterbi_ids(tokens, state, trans, n_tags, feature_fn)
+        for ei, (tokens, labels) in enumerate(examples):
+            seen_v, clean = ex_seen[ei]
+            if clean and seen_v == version:
+                u += len(tokens)
+                continue
+            gold = golds[ei]
+            fx = feats_all[ei]
+            g = viterbi_ids(tokens, state, trans, n_tags, feature_fn, fx)
+            had_err = g != gold
             for t in range(len(tokens)):
                 u += 1
                 if g[t] != gold[t]:
-                    for f in feature_fn(tokens, t):
+                    version += 1
+                    for f in fx[t]:
                         row = _tick(f)
                         row[gold[t]] += 1
                         row[g[t]] -= 1
                 if t > 0 and (g[t - 1], g[t]) != (gold[t - 1], gold[t]):
                     # the reference's trans update rule
                     # (crf_trainer_averaged_perceptron.c:583-588)
+                    version += 1
                     _ttick(gold[t - 1], gold[t])
                     trans[gold[t - 1], gold[t]] += 1
                     _ttick(g[t - 1], g[t])
                     trans[g[t - 1], g[t]] -= 1
+            ex_seen[ei] = (version, not had_err)
 
     for f, row in state.items():
         acc[f] += row * (u - last[f])

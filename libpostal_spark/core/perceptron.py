@@ -124,8 +124,23 @@ def fit(
         last[f] = t
         return row
 
+    # decode-skip bookkeeping: an example decoded ERROR-FREE against weights
+    # that have not changed since (version = count of update events) would
+    # decode identically now — skipping the decode changes nothing except
+    # advancing the token clock, which a clean pass does anyway (updates are
+    # the only reader of t via the lazy _tick). After convergence (this
+    # corpus reaches 0 training errors by iter ~5 of 10) whole iterations
+    # become O(1), and weights are bit-identical either way (pytest-pinned).
+    version = 0
+    ex_seen: list[tuple[int, bool]] = [(-1, False)] * len(examples)
+
     for _ in range(iters):
-        for tokens, labels in examples:
+        for ei, (tokens, labels) in enumerate(examples):
+            seen_v, clean = ex_seen[ei]
+            if clean and seen_v == version:
+                t += len(tokens)
+                continue
+            had_err = False
             prev: str | None = None
             prev2: str | None = None
             for i in range(len(tokens)):
@@ -134,11 +149,14 @@ def fit(
                 g = _score_argmax(w, feats, n_tags)
                 y = tid[labels[i]]
                 if g != y:
+                    had_err = True
+                    version += 1
                     for f in feats:
                         row = _tick(f)
                         row[y] += 1
                         row[g] -= 1
                 prev2, prev = prev, tags[g]
+            ex_seen[ei] = (version, not had_err)
 
     for f, row in w.items():
         acc[f] += row * (t - last[f])

@@ -235,34 +235,40 @@ def fit_spark(
             F.col(lang_col).alias("lang"),
         )
     )
-    # length guard BEFORE the explode: Spark's sequence(1, 0) is DESCENDING
-    # ([1, 0]), so a bare sequence(1, len-2) would fabricate junk "trigrams"
-    # for texts shorter than 3 chars instead of none
-    tri_counts = (
-        fit_docs.filter(F.length(F.lower("text")) >= 3)
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(lower(text)) - 2),"
-                    " p -> substring(lower(text), p, 3))"
-                )
-            ).alias("tri"),
-        )
-        .groupBy("tri")
+    # ONE fit-metadata job instead of the former two (trigram top-k +
+    # class distinct): collect the sample's (lang, tri) count table —
+    # bounded by the sample's text volume, the same bound lang_id_trigram's
+    # fit already carries — and derive BOTH the vocab (top-k by
+    # (-cnt, tri) summed over langs) and the class list on the driver.
+    # explode_outer + the length guard keeps langs whose every sampled text
+    # is shorter than 3 chars in the class list (they arrive as one
+    # tri=NULL row), exactly matching the former select-distinct job.
+    # (A bare sequence(1, len-2) would be DESCENDING for short texts and
+    # fabricate junk trigrams — hence the when() guard.)
+    tri_arr = F.when(
+        F.length(F.lower("text")) >= 3,
+        F.expr(
+            "transform(sequence(1, length(lower(text)) - 2),"
+            " p -> substring(lower(text), p, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lang_tri = (
+        fit_docs.select("lang", F.explode_outer(tri_arr).alias("tri"))
+        .groupBy("lang", "tri")
         .agg(F.count("*").alias("cnt"))
-        # distributed top-k: the orderBy+limit runs as a per-partition
-        # TakeOrderedAndProject, so the driver receives at most vocab_k rows
-        # instead of every distinct trigram of the sample (round-6 verdict
-        # item: same deterministic (-cnt, tri) ranking, bit-identical vocab)
-        .orderBy(F.desc("cnt"), F.asc("tri"))
-        .limit(vocab_k)
         .collect()
     )
-    vocab = [r["tri"] for r in tri_counts]
-    classes = sorted(
-        r["lang"] for r in fit_docs.select("lang").distinct().collect()
-    )
+    classes = sorted({r["lang"] for r in lang_tri})
+    tri_tot: dict[str, int] = {}
+    for r in lang_tri:
+        if r["tri"] is not None:
+            tri_tot[r["tri"]] = tri_tot.get(r["tri"], 0) + int(r["cnt"])
+    vocab = [
+        t
+        for t, _ in sorted(tri_tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_k
+        ]
+    ]
     vidx = {t: i for i, t in enumerate(vocab)}
     cidx = {c: i for i, c in enumerate(classes)}
     k, c = len(vocab), len(classes)

@@ -74,12 +74,21 @@ def _word_occurrences(text: Column, word: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
 
 
+def _word_set_occurrences(toks: Column, words: list[str]) -> Column:
+    """Total occurrences of ANY word of a distinct-word set, as ONE filter
+    pass. Each token matches at most one word of a distinct set, so this
+    equals the sum of per-word ``_word_occurrences`` counts — one
+    expression instead of len(words) split/filter/size trees, which cuts
+    both Catalyst analysis time (driver, every invocation) and the
+    per-row evaluation from O(words · tokens) to O(tokens)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
 def stopword_ratio(text: Column) -> Column:
     total = token_count(text)
-    hits = None
-    for w in STOPWORDS:
-        c = _word_occurrences(text, w)
-        hits = c if hits is None else hits + c
+    hits = _word_set_occurrences(
+        F.split(F.lower(F.trim(text)), r"\s+"), STOPWORDS
+    )
     return F.round(
         F.when(total == 0, F.lit(0.0)).otherwise(
             hits.cast("double") / total.cast("double")
@@ -103,9 +112,9 @@ def lang_id(text: Column) -> Column:
     """argmax over marker-word counts; zero evidence → 'und', ties resolve
     to the FIRST language in LANG_MARKERS dict order (the strictly-greater
     fold below — the SQL twin replays the same rule)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
     counts = {
-        lang: sum([_word_occurrences(text, w) for w in words][1:],
-                  _word_occurrences(text, words[0]))
+        lang: _word_set_occurrences(toks, words)
         for lang, words in LANG_MARKERS.items()
     }
     langs = list(LANG_MARKERS)
@@ -162,14 +171,20 @@ def lang_id_trigram(
     value-for-value.
 
     At scale: the model is a small (tri → lang) table bounded by the fit
-    sample's text volume — it is collected to the driver (exact Python-int
-    cross-multiplication, no width ceiling) and shipped back as an explicit
-    broadcast join; prediction runs over everything in ONE distributed pass.
+    sample's text volume — the sample itself (first ``fit_max_docs`` rows,
+    the same bound the count table already carried) is collected to the
+    driver, counted, and argmaxed there (exact Python-int
+    cross-multiplication, no width ceiling), then shipped back as an
+    explicit broadcast join; prediction runs over everything in ONE
+    distributed pass.
 
-    Driver actions: exactly one — the fit-counts collect, which explodes
-    trigrams for the SAMPLE only (the sample filter is pushed below the
-    explode). The caller's action then runs the single full-corpus pass.
-    Nothing is persisted, so repeated invocations leak no executor cache.
+    Driver actions: exactly one — the bounded sample collect (a
+    TakeOrdered of ``fit_max_docs`` rows, no shuffle, no explode job: the
+    former distributed count job spent its wall on job waves, not on the
+    ~10^5-trigram tally a driver loop does in milliseconds; both transfers
+    are bounded by the sample's text volume). The caller's action then
+    runs the single full-corpus pass. Nothing is persisted, so repeated
+    invocations leak no executor cache.
     """
     spark = docs.sparkSession
 
@@ -178,34 +193,32 @@ def lang_id_trigram(
         F.col(lang_col).alias("lang_label"),
         F.lower(F.col(text_col)).alias("t"),
     ).filter(F.length("t") >= 3)
-    # a NULL label must never enter the fit: it would become a None key in
-    # the totals (and a None-vs-str tie-break TypeError on the driver) or a
-    # silent NULL "language" in the broadcast model. The twin applies the
-    # same filter.
-    fit_input = lowered.filter(F.col("lang_label").isNotNull())
-
-    def _explode_tris(frame):
-        return frame.withColumn(
-            "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
-        ).select(
-            id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
-        )
 
     # fit on a bounded, DETERMINISTIC document sample (first fit_max_docs
-    # ids in sort order — reproducible, oracle-replayable). Applied
-    # unconditionally: when the corpus has <= fit_max_docs documents the
-    # sample IS the corpus, so no separate count action is ever needed, and
-    # at the sf0.01 compare scale fit == full and the SQL twin's totals
-    # match exactly. The sample join sits BELOW the explode, so the fit
-    # job's trigram fan-out is bounded by the sample's text volume no
-    # matter how large the corpus is.
-    sample_ids = docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
-    counts = (
-        _explode_tris(fit_input.join(F.broadcast(sample_ids), id_col))
-        .groupBy("lang_label", "tri")
-        .agg(F.count("*").alias("cnt"))
+    # ids in sort order — reproducible, oracle-replayable). When the corpus
+    # has <= fit_max_docs documents the sample IS the corpus, so at the
+    # sf0.01 compare scale fit == full and the SQL twin's totals match
+    # exactly. NULL labels and sub-trigram texts never enter the tally —
+    # the same filters the former distributed fit job applied (a None key
+    # would TypeError the tie-break; the twin filters identically).
+    sample = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("lang_label"),
+            F.lower(F.col(text_col)).alias("t"),
+        )
+        .orderBy("_id")
+        .limit(fit_max_docs)
         .collect()
     )
+    counts: dict[tuple[str, str], int] = {}
+    for r in sample:
+        lang, t = r["lang_label"], r["t"]
+        if lang is None or t is None or len(t) < 3:
+            continue
+        for i in range(len(t) - 2):
+            key = (lang, t[i : i + 3])
+            counts[key] = counts.get(key, 0) + 1
 
     # model fit is driver-side over the BOUNDED count table: per-language
     # totals, then each trigram's profile language = argmax of
@@ -214,24 +227,30 @@ def lang_id_trigram(
     # the lexicographically smaller language. Matches the DuckDB twin's
     # HUGEINT replay bit-for-bit at compare scale.
     totals: dict[str, int] = {}
-    for r in counts:
-        totals[r["lang_label"]] = totals.get(r["lang_label"], 0) + int(r["cnt"])
+    for (lang, _), c in counts.items():
+        totals[lang] = totals.get(lang, 0) + c
     prod_all = 1
     for v in totals.values():
         prod_all *= v
     best: dict[str, tuple[int, str]] = {}
-    for r in counts:
-        lang = r["lang_label"]
-        score = int(r["cnt"]) * (prod_all // totals[lang])
-        cur = best.get(r["tri"])
+    for (lang, tri), c in counts.items():
+        score = c * (prod_all // totals[lang])
+        cur = best.get(tri)
         if cur is None or score > cur[0] or (score == cur[0] and lang < cur[1]):
-            best[r["tri"]] = (score, lang)
+            best[tri] = (score, lang)
     model_rows = [(tri, lang) for tri, (_, lang) in best.items()]
     model = spark.createDataFrame(
         model_rows or [("", "und")], "tri string, profile_lang string"
     )
     if not model_rows:
         model = model.filter(F.lit(False))
+
+    def _explode_tris(frame):
+        return frame.withColumn(
+            "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
+        ).select(
+            id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
+        )
 
     # one distributed pass over the FULL corpus: broadcast the model into
     # the vote join; the majority vote with (v desc, lang asc) tie-break is

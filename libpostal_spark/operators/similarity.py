@@ -374,9 +374,18 @@ def embedding_clusters(
         F.col("vec_id1").cast("string").alias("fid1"),
         F.col("vec_id2").cast("string").alias("fid2"),
     )
-    labels = cluster.connected_components_auto(
-        pairs, None, cc_driver_max_edges
-    )
+    # route with ONE action (the pipeline.py / geo.py pattern):
+    # limit(max+1).collect() both counts and fetches the edges — the former
+    # count-then-collect pair executed the unpersisted pair-scoring plan
+    # TWICE. Oversized edge sets (rare: the near-dup graph is sparse) fall
+    # back to the distributed loop, which re-executes once — exactly what
+    # the old count path did.
+    edge_rows = pairs.limit(cc_driver_max_edges + 1).collect()
+    if len(edge_rows) <= cc_driver_max_edges:
+        labels = cluster.union_find_rows(edge_rows, embeddings.sparkSession,
+                                         id_type="string")
+    else:
+        labels = cluster.connected_components(pairs)
     # string CC labels order lexicographically; re-derive the numeric min
     # per component so the contract is numeric-min vec_id
     lab = labels.select(

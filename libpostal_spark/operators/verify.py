@@ -186,10 +186,17 @@ def toponym_status_pairs(
     from ..functions.udfs import make_canonicalize_udf
 
     canon_udf = make_canonicalize_udf(expansions=expansions)
-    df = pairs
-    for f in _TOPO_FIELDS:
-        for s in ("1", "2"):
-            df = df.withColumn(f"_c_{f}{s}", canon_udf(F.col(f + s)))
+    # ONE select for all 12 canon columns: a withColumn chain re-analyzes
+    # the growing plan 12 times (O(cols²) driver work — measurable Catalyst
+    # time on every invocation); the single projection is the same plan
+    df = pairs.select(
+        "*",
+        *[
+            canon_udf(F.col(f + s)).alias(f"_c_{f}{s}")
+            for f in _TOPO_FIELDS
+            for s in ("1", "2")
+        ],
+    )
 
     def present(name: str) -> Column:
         return F.col(name).isNotNull()
