@@ -95,10 +95,13 @@ def release_caches() -> None:
     one-sweep harness run exits with zero persisted frames still pinned in
     the executor block manager, and callable directly by long-lived hosts
     between sweeps."""
+    _QVEC_CACHE.clear()
     for cache, release in (
         (_SIG_CACHE, None),
         (_SIG_SHA_CACHE, None),
         (_ANN_SIG_CACHE, None),
+        (_COS_PAIRS_CACHE, None),
+        (_PIPE_RES_CACHE, lambda r: r.release()),
         (_PAIRS_CACHE, lambda v: v[2] is not None and v[2].unpersist()),
     ):
         for key in list(cache):
@@ -155,6 +158,46 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_PIPE_RES_CACHE: dict = {}
+
+
+def _pipe_res(spark: SparkSession, sf_dir: str):
+    """Per-session pipeline result over one sf_dir's documents — the
+    _SIG_CACHE pattern one level up: doc_near_dup_clusters and
+    dup_status_pairs consume the SAME DedupPipeline run (same config, same
+    cached signatures), so the second query reuses the first's persisted
+    confirm/cluster frames instead of re-running three driver actions."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _PIPE_RES_CACHE:
+        res = DedupPipeline(spark, _CFG).run(
+            dedup.docs_as_files(_docs(spark, sf_dir)),
+            signatures=_sigs(spark, sf_dir),
+        )
+        _cache_put(
+            _PIPE_RES_CACHE, key, res, release=lambda r: r.release()
+        )
+    return _PIPE_RES_CACHE[key]
+
+
+_QVEC_CACHE: dict = {}
+
+
+def _ann_qvec(spark: SparkSession, sf_dir: str) -> list:
+    """The ANN probe vector (vec_id = 0), fetched once per session per
+    sf_dir — three ANN queries each collected it with their own filter job."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _QVEC_CACHE:
+        row = (
+            _embs(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+        )
+        _cache_put(
+            _QVEC_CACHE, key,
+            [float(x) for x in row["embedding"]],
+            release=lambda v: None,
+        )
+    return _QVEC_CACHE[key]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1008,15 +1051,33 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+_COS_PAIRS_CACHE: dict = {}
+
+
+def _cos_pairs(spark, sf_dir):
+    """Per-session cosine near-dup pair frame (threshold 0.4): the pairs
+    query and the clusters query score the same corpus — one persisted
+    scoring pass serves both (the _SIG_CACHE pattern)."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _COS_PAIRS_CACHE:
+        pairs = similarity.cosine_pairs(
+            _spread(_embs(spark, sf_dir)), threshold=0.4
+        ).persist()
+        pairs.count()
+        _cache_put(_COS_PAIRS_CACHE, key, pairs)
+    return _COS_PAIRS_CACHE[key]
+
+
 def _q_embedding_near_dup(spark, sf_dir):
-    return similarity.cosine_pairs(_spread(_embs(spark, sf_dir)), threshold=0.4)
+    return _cos_pairs(spark, sf_dir)
 
 
 def _q_embedding_clusters(spark, sf_dir):
     """Embedding-cosine near-dup clustering (CC over the exact pair graph
     at sf scale) — the embedding analog of doc_near_dup_clusters."""
     return similarity.embedding_clusters(
-        _spread(_embs(spark, sf_dir)), threshold=0.4
+        _spread(_embs(spark, sf_dir)), threshold=0.4,
+        pairs=_cos_pairs(spark, sf_dir),
     )
 
 
@@ -2292,8 +2353,7 @@ _STRSIM_SQL = f"""
 
 def _q_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
-    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.brute_force_topk(embs, qvec, k=10)
+    return similarity.brute_force_topk(embs, _ann_qvec(spark, sf_dir), k=10)
 
 
 _ANN = dict(n_tables=8, n_bits=4, multiprobe=1, seed=42)
@@ -2317,7 +2377,7 @@ def _ann_sigs(spark, sf_dir, dim: int):
 
 def _q_ann_lsh_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
-    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _ann_qvec(spark, sf_dir)
     return similarity.lsh_topk(
         embs, qvec, k=10, signatures=_ann_sigs(spark, sf_dir, len(qvec)), **_ANN
     )
@@ -2538,17 +2598,16 @@ def _q_lsh_candidates(spark, sf_dir):
 
 def _q_doc_clusters(spark, sf_dir):
     return dedup.minhash_clusters(
-        spark, _docs(spark, sf_dir), _CFG, signatures=_sigs(spark, sf_dir)
+        spark, _docs(spark, sf_dir), _CFG, result=_pipe_res(spark, sf_dir)
     )
 
 
 def _q_dup_status(spark, sf_dir):
-    sigs = _sigs(spark, sf_dir)
     return dedup.dup_status_pairs(
         spark,
         _docs(spark, sf_dir),
         _CFG,
-        signatures=sigs,
+        result=_pipe_res(spark, sf_dir),
         max_class_size=_MAX_CLASS_CACHE[(_session_key(spark), sf_dir)],
     )
 

@@ -220,10 +220,28 @@ def minhash_signatures(
     if len(s) == 0:
         return sig
     nonempty = offsets[:-1] < offsets[1:]
-    starts = offsets[:-1][nonempty]
-    for i in range(k):
-        h = a[i] * s + b[i]
-        sig[nonempty, i] = np.minimum.reduceat(h, starts)
+    ne_idx = np.nonzero(nonempty)[0]
+    starts_all = offsets[:-1][nonempty]
+    # cache-block over shingle ranges: each ~64k-element slice of s stays
+    # L2-resident across all k permutation passes, so the m hashes are read
+    # from DRAM once instead of k times (pure traversal-order change —
+    # every (permutation, row) minimum is identical)
+    block = 1 << 16
+    pos = 0
+    while pos < len(ne_idx):
+        end = pos
+        lo = int(starts_all[pos])
+        while end < len(ne_idx) and int(offsets[ne_idx[end] + 1]) - lo <= block:
+            end += 1
+        end = max(end, pos + 1)               # one huge row still forms a block
+        hi = int(offsets[ne_idx[end - 1] + 1])
+        chunk = s[lo:hi]
+        starts = starts_all[pos:end] - lo
+        rows = ne_idx[pos:end]
+        for i in range(k):
+            h = a[i] * chunk + b[i]
+            sig[rows, i] = np.minimum.reduceat(h, starts)
+        pos = end
     return sig
 
 

@@ -225,6 +225,33 @@ def fit_spark(
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
+    if fit_max_docs * vocab_k <= GD_DRIVER_MAX_ELEMS:
+        # the fit sample fits the driver-GD budget: collect the bounded raw
+        # sample in ONE TakeOrdered action (fit_max_docs rows — the same
+        # row bound every fit path already carries; lang_id_trigram's fit
+        # collects the identical sample) and run the single-process kernel,
+        # which is bit-identical to the distributed loop (pinned in tests).
+        # The former shape spent three driver actions (vocab counts, class
+        # distinct, featurized-matrix collect) plus a broadcast sub-job
+        # each on the same 1000 rows.
+        rows = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.col(lang_col).alias("lang"),
+            )
+            .orderBy("doc_id")
+            .limit(fit_max_docs)
+            .collect()
+        )
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r["doc_id"] for r in rows],
+                "text": [r["text"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+            }
+        )
+        return fit_local(pdf, vocab_k, iters, fit_max_docs)
     sample_ids = docs.select(id_col).orderBy(id_col).limit(fit_max_docs)
     fit_docs = (
         docs.join(F.broadcast(sample_ids), id_col)

@@ -98,10 +98,12 @@ def dup_status_pairs(
     signatures: DataFrame | None = None,
     max_pairs_per_class: int = 10_000,
     max_class_size: int | None = None,
+    result=None,
 ) -> DataFrame:
     """Graded duplicate pairs — see ``dup_status_pairs_with_ledger``."""
     pairs, _ = dup_status_pairs_with_ledger(
-        spark, documents, cfg, signatures, max_pairs_per_class, max_class_size
+        spark, documents, cfg, signatures, max_pairs_per_class,
+        max_class_size, result,
     )
     return pairs
 
@@ -113,6 +115,7 @@ def dup_status_pairs_with_ledger(
     signatures: DataFrame | None = None,
     max_pairs_per_class: int = 10_000,
     max_class_size: int | None = None,
+    result=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Graded duplicate pairs: every pair with same sha256 or Jaccard >=
     cfg.jaccard_threshold, with the reference's 4-level status
@@ -139,8 +142,14 @@ def dup_status_pairs_with_ledger(
     signal, not a whole-file duplicate grade.
     """
     cfg = cfg or PipelineConfig()
-    files = docs_as_files(documents)
-    res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
+    if result is not None:
+        # reuse an already-run PipelineResult for the same (documents, cfg)
+        # — callers holding one (the harness's per-session pipeline cache)
+        # skip this function's three driver actions entirely
+        res = result
+    else:
+        files = docs_as_files(documents)
+        res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
     sigs = res.signatures
     ids = sigs.select("fid", F.col("path").cast("long").alias("doc_id"))
     w = Window.partitionBy("sha256")
@@ -569,14 +578,20 @@ def minhash_clusters(
     documents: DataFrame,
     cfg: PipelineConfig | None = None,
     signatures: DataFrame | None = None,
+    result=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup clustering of a documents table.
 
     Output: doc_id, component (fid-space label), is_canonical.
+    Pass ``result`` (an already-run PipelineResult for the same documents
+    and config) to reuse its persisted stages instead of re-running.
     """
     cfg = cfg or PipelineConfig()
-    files = docs_as_files(documents)
-    res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
+    if result is not None:
+        res = result
+    else:
+        files = docs_as_files(documents)
+        res = DedupPipeline(spark, cfg).run(files, signatures=signatures)
     sig = res.signatures.select("fid", F.col("path").alias("doc_id"))
     # deliberately NOT sorted: a global orderBy here would be a full sort of
     # the production output; callers that need display order sort themselves

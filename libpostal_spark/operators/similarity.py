@@ -357,6 +357,7 @@ def embedding_clusters(
     n_rows: int | None = None,
     dim: int | None = None,
     method: str = "auto",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate CLUSTERING: cosine_pairs edges →
     connected components → (vec_id, component, is_canonical), the embedding
@@ -364,13 +365,19 @@ def embedding_clusters(
     of the component; singletons label themselves).
 
     Pairs route exact/bucketed by corpus size exactly like cosine_pairs;
-    CC routes driver/distributed by edge count like the main pipeline."""
+    CC routes driver/distributed by edge count like the main pipeline.
+    Pass ``pairs`` (an already-computed — ideally persisted — cosine_pairs
+    frame for the same embeddings/threshold) to reuse it instead of
+    re-scoring the corpus."""
     from . import cluster
 
-    pairs = cosine_pairs(
-        embeddings, threshold, id_col=id_col, max_exact_rows=max_exact_rows,
-        n_rows=n_rows, dim=dim, method=method,
-    ).select(
+    if pairs is None:
+        pairs = cosine_pairs(
+            embeddings, threshold, id_col=id_col,
+            max_exact_rows=max_exact_rows,
+            n_rows=n_rows, dim=dim, method=method,
+        )
+    pairs = pairs.select(
         F.col("vec_id1").cast("string").alias("fid1"),
         F.col("vec_id2").cast("string").alias("fid2"),
     )
