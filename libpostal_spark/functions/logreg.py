@@ -399,7 +399,14 @@ def predict_spark(
         for f in range(k)
         for j in range(c)
     ]
-    wdf = spark.createDataFrame(w_rows, "tri string, lang string, w long")
+    # pandas input → Arrow-path createDataFrame (row reflection otherwise)
+    wdf = spark.createDataFrame(
+        pd.DataFrame(w_rows or [("", "und", 0)],
+                     columns=["tri", "lang", "w"]),
+        schema="tri string, lang string, w long",
+    )
+    if not w_rows:
+        wdf = wdf.filter(F.lit(False))
     bias_expr = F.create_map(
         *[
             x

@@ -239,8 +239,15 @@ def lang_id_trigram(
         if cur is None or score > cur[0] or (score == cur[0] and lang < cur[1]):
             best[tri] = (score, lang)
     model_rows = [(tri, lang) for tri, (_, lang) in best.items()]
+    import pandas as pd
+
+    # pandas input → Arrow-path createDataFrame (one zero-copy batch; the
+    # list-of-tuples form walks row reflection)
     model = spark.createDataFrame(
-        model_rows or [("", "und")], "tri string, profile_lang string"
+        pd.DataFrame(
+            model_rows or [("", "und")], columns=["tri", "profile_lang"]
+        ),
+        schema="tri string, profile_lang string",
     )
     if not model_rows:
         model = model.filter(F.lit(False))

@@ -225,6 +225,17 @@ def candidate_pairs(
     )
     cached = None
     has_big = True
+    if cfg.max_bucket_size >= (1 << 30):
+        # effectively-unbounded small-bucket cap (the oracle-twin pairing
+        # config): no realistic bucket can exceed it, so the salted/star
+        # branches are unreachable and the simple all-pairs plan can be
+        # built WITHOUT the gating persist+agg action. (A >2^30-member
+        # bucket would already diverge from the plain all-pairs SQL twin
+        # this config exists to match, so the gate adds nothing there
+        # either.) The self-join's two sides share one ReusedExchange, so
+        # skipping the persist does not duplicate the key shuffle.
+        has_big = False
+        persist = False
     if persist:
         # keyed fans out to 5+ consumer branches (small l/r, star, salt l/r,
         # reps, stats); without a materialized cache each branch replays the
