@@ -229,12 +229,17 @@ def candidate_pairs(
         # effectively-unbounded small-bucket cap (the oracle-twin pairing
         # config): no realistic bucket can exceed it, so the salted/star
         # branches are unreachable and the simple all-pairs plan can be
-        # built WITHOUT the gating persist+agg action. (A >2^30-member
-        # bucket would already diverge from the plain all-pairs SQL twin
-        # this config exists to match, so the gate adds nothing there
-        # either.) The self-join's two sides share one ReusedExchange, so
-        # skipping the persist does not duplicate the key shuffle.
+        # built WITHOUT the gating agg ACTION. (A >2^30-member bucket
+        # would already diverge from the plain all-pairs SQL twin this
+        # config exists to match, so the gate adds nothing there either.)
+        # The persist stays: only the exchange is reused between the
+        # self-join's two sides — the bucket-count window above it is
+        # computed per side, and the cache keeps that to one computation
+        # (A/B: dropping the persist cost ~0.2 s on the harness query).
         has_big = False
+        if persist:
+            keyed = keyed.persist()
+            cached = keyed
         persist = False
     if persist:
         # keyed fans out to 5+ consumer branches (small l/r, star, salt l/r,
