@@ -3373,7 +3373,9 @@ pairs AS (
 
 
 def _sw_count(word: str) -> str:
-    """SQL twin of textstats._word_occurrences (token-based whole-word count)."""
+    """SQL twin of the textstats whole-word token count (split on \\s+,
+    exact token equality; the Spark side sums these per-word counts via one
+    set-membership filter — textstats._word_set_occurrences)."""
     return (
         f"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
         f" t -> t = '{word}')) AS BIGINT)"

@@ -63,24 +63,15 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def _word_occurrences(text: Column, word: str) -> Column:
-    """count of whole-word (whitespace-delimited) occurrences.
-
-    Token-based: split on \\s+ and count exact matches. (An earlier
-    regexp_replace length-diff version undercounted consecutive repeats —
-    ' the the the ' counted 2 — because replacement is non-overlapping.)
-    """
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
-
-
 def _word_set_occurrences(toks: Column, words: list[str]) -> Column:
     """Total occurrences of ANY word of a distinct-word set, as ONE filter
-    pass. Each token matches at most one word of a distinct set, so this
-    equals the sum of per-word ``_word_occurrences`` counts — one
-    expression instead of len(words) split/filter/size trees, which cuts
-    both Catalyst analysis time (driver, every invocation) and the
-    per-row evaluation from O(words · tokens) to O(tokens)."""
+    pass over the \\s+-split token array. Each token matches at most one
+    word of a distinct set, so this equals the sum of per-word whole-word
+    counts (exact token equality — the rule the SQL twins replay with
+    their per-word ``len(list_filter(...))`` sums) — one expression
+    instead of len(words) split/filter/size trees, which cuts both
+    Catalyst analysis time (driver, every invocation) and the per-row
+    evaluation from O(words · tokens) to O(tokens)."""
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
