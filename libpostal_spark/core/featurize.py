@@ -34,10 +34,18 @@ class BatchFeatures:
     winnow: list                  # list of int64 np arrays (sorted distinct)
 
 
-def tokenize_flat(
-    canon: pd.Series, seed: int, hash_mode: str = "blake2b"
+try:  # pragma: no cover - import guard
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+except ImportError:  # pragma: no cover
+    _pa = None
+
+
+def _tokenize_flat_pandas(
+    canon: pd.Series, seed: int, hash_mode: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    """canon strings → (flat token-hash uint64 array, per-row lengths)."""
+    """Reference pandas implementation (fallback for content Arrow cannot
+    hold, e.g. lone surrogates)."""
     toks = canon.fillna("").str.split(" ")
     # empty string splits to [''] — normalize to []
     lengths = toks.map(len).to_numpy(dtype=np.int64)
@@ -52,6 +60,47 @@ def tokenize_flat(
     )
     flat = uniq_hashes[codes]
     return flat, lengths
+
+
+def tokenize_flat(
+    canon: pd.Series, seed: int, hash_mode: str = "blake2b"
+) -> tuple[np.ndarray, np.ndarray]:
+    """canon strings → (flat token-hash uint64 array, per-row lengths).
+
+    Arrow path: one ``split_pattern`` + ``dictionary_encode`` per batch —
+    the vocabulary dedup runs in Arrow's C++ hash table instead of a pandas
+    explode + factorize over per-row Python lists (measured ~4x on the e2e
+    corpus; identical flat hashes and lengths, pinned in
+    tests/test_canonicalize_arrow.py). Per-token semantics match Python
+    ``str.split(" ")`` exactly, including empty tokens from repeated spaces;
+    an all-empty row contributes 0 tokens (the [''] normalization).
+    """
+    if _pa is None:
+        return _tokenize_flat_pandas(canon, seed, hash_mode)
+    s = canon.fillna("")
+    try:
+        arr = _pa.array(s.to_numpy(dtype=object), type=_pa.large_string())
+    except (_pa.ArrowInvalid, _pa.ArrowTypeError):
+        return _tokenize_flat_pandas(canon, seed, hash_mode)
+    lst = _pc.split_pattern(arr, " ")
+    raw_len = _pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    raw_len = raw_len.astype(np.int64)
+    empty = _pc.equal(_pc.binary_length(arr), 0).to_numpy(
+        zero_copy_only=False
+    )
+    lengths = raw_len.copy()
+    lengths[empty] = 0
+    d = _pc.dictionary_encode(_pc.list_flatten(lst))
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    if empty.any():
+        codes = codes[np.repeat(~empty, raw_len)]
+    if len(codes) == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    uniques = d.dictionary.to_numpy(zero_copy_only=False)
+    uniq_hashes = H.hash_tokens_unique(
+        np.asarray(uniques, dtype=object), seed, hash_mode
+    )
+    return uniq_hashes[codes], lengths
 
 
 def featurize(canon: pd.Series, cfg: PipelineConfig) -> BatchFeatures:
