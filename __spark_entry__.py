@@ -2760,10 +2760,17 @@ def _q_streaming_window_stats(spark, sf_dir):
     )
 
 
-# state-store width of the harness streaming query: each partition pays
-# per-batch store commit machinery, so fewer is faster until bucket-key
-# parallelism starves (A/B-measured in round 7; see BASELINE.md)
-_STREAM_STATE_PARTITIONS = 8
+# state-store width of the harness LSH streaming query. Round 7 A/B'd
+# 2/4/8 and chose 8 ("fewer partitions, fewer store commits") — but that
+# predated the lean band-keys featurize: the detector's cost is now the
+# per-GROUP Python invocation of applyInPandasWithState (~19k (band,khash)
+# buckets per batch at sf0.1), which wants parallelism ≈ cores. Round-8
+# re-A/B on the current code (2 rounds each, same session, interleaved):
+# 8 → 3.9-5.1 s, 16 → 2.7-3.1 s, 32 → 2.3-2.6 s, identical 891 rows.
+# Scale-adaptively one state partition per core (the width a production
+# stream would be sized to), not a constant tuned to either config.
+def _stream_state_partitions(spark) -> int:
+    return spark.sparkContext.defaultParallelism
 
 
 def _q_streaming_lsh_candidates(spark, sf_dir):
@@ -2804,7 +2811,7 @@ def _q_streaming_lsh_candidates(spark, sf_dir):
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_stream_state_partitions(spark))
     )
     # the NoTimeout stateful detector emits nothing from an empty batch —
     # skip it and save one RocksDB commit wave across all 8 state partitions

@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import numpy as np
 import pandas as pd
 
 # comment syntaxes folded for every language: block /* ... */, line // and #,
@@ -118,7 +119,7 @@ def _canon_core(s: pd.Series) -> pd.Series:
         return _canon_core_pandas(s)
     try:
         arr = _pa.array(s.to_numpy(dtype=object), type=_pa.large_string())
-    except (_pa.ArrowInvalid, _pa.ArrowTypeError):
+    except (_pa.ArrowInvalid, _pa.ArrowTypeError, UnicodeEncodeError):
         # lone surrogates (or other non-UTF-8-encodable content) cannot
         # cross into Arrow; the Python path handles them as before
         return _canon_core_pandas(s)
@@ -571,6 +572,31 @@ _RE_NUMBER_TOKEN = re.compile(r" \d+(?:\.\d+)? ")
 _RE_MULTISPACE = re.compile(r" +")
 
 
+def _doubled_stream_arrow(joined: pd.Series):
+    """' a  b ' doubled-space stream as an Arrow large_string array, or
+    None when the batch cannot cross into Arrow (lone surrogates) or
+    contains nulls (callers fillna upstream; the guard keeps the fallback
+    honest). Literal (non-regex) substring kernels are byte-exact vs the
+    pandas path for ANY unicode content — UTF-8 is self-synchronizing, so
+    a codepoint-aligned literal can never match mid-character — which is
+    why this fast path needs no ASCII gating."""
+    if _pa is None or len(joined) == 0:
+        return None
+    try:
+        arr = _pa.array(joined.to_numpy(dtype=object), type=_pa.large_string())
+    except (_pa.ArrowInvalid, _pa.ArrowTypeError, UnicodeEncodeError):
+        return None
+    if arr.null_count:
+        return None
+    sp = _pa.scalar(" ", type=_pa.large_string())
+    return _pc.binary_join_element_wise(
+        sp,
+        _pc.replace_substring(arr, pattern=" ", replacement="  "),
+        sp,
+        _pa.scalar("", type=_pa.large_string()),
+    )
+
+
 def rewrite_joined_batch(
     joined: pd.Series,
     expansions: dict[str, str] | None,
@@ -600,13 +626,46 @@ def rewrite_joined_batch(
     ``expand_alternatives`` segment count) is None unless count_matches.
     """
     exp = expansions or {}
-    s = " " + joined.str.replace(" ", "  ", regex=False) + " "
-    m = pd.Series(0, index=joined.index, dtype="int64") if count_matches else None
-    for k, v in phrase_priority_order(exp):
-        pat, rep = _doubled(k), _doubled(v)
-        if count_matches:
-            m = m + s.str.count(re.escape(pat))
-        s = s.str.replace(pat, rep, regex=False)
+    ordered = phrase_priority_order(exp)
+    a = _doubled_stream_arrow(joined) if ordered else None
+    if a is not None:
+        # Arrow fast path: the per-PATTERN literal count/replace chain runs
+        # through pyarrow's C++ string kernels (one whole-column pass per
+        # pattern) instead of pandas object-dtype loops. Semantics are
+        # identical — count_substring / replace_substring are
+        # non-overlapping left-to-right literal ops, exactly str.count /
+        # str.replace (fuzz-pinned incl. unicode). The fold_numbers /
+        # multispace tail stays on the pandas ``re`` path: Python's \\d
+        # matches non-ASCII digits where RE2's does not, and those two
+        # passes are not the hot loop.
+        mv = np.zeros(len(joined), dtype=np.int64) if count_matches else None
+        for k, v in ordered:
+            pat, rep = _doubled(k), _doubled(v)
+            if count_matches:
+                mv += _pc.count_substring(a, pattern=pat).to_numpy(
+                    zero_copy_only=False
+                )
+            a = _pc.replace_substring(a, pattern=pat, replacement=rep)
+        s = pd.Series(
+            a.to_numpy(zero_copy_only=False), index=joined.index, dtype=object
+        )
+        m = (
+            pd.Series(mv, index=joined.index, dtype="int64")
+            if count_matches
+            else None
+        )
+    else:
+        s = " " + joined.str.replace(" ", "  ", regex=False) + " "
+        m = (
+            pd.Series(0, index=joined.index, dtype="int64")
+            if count_matches
+            else None
+        )
+        for k, v in ordered:
+            pat, rep = _doubled(k), _doubled(v)
+            if count_matches:
+                m = m + s.str.count(re.escape(pat))
+            s = s.str.replace(pat, rep, regex=False)
     if fold_numbers:
         s = s.str.replace(_RE_NUMBER_TOKEN, " 0 ", regex=True)
     s = s.str.replace(_RE_MULTISPACE, " ", regex=True).str.strip()
@@ -631,26 +690,58 @@ def phrase_match_count_batch(
     Returns a list of per-pattern count Series (one int64 Series per entry,
     aligned with ``ordered``).
     """
+    mat = phrase_match_count_matrix(joined, ordered)
+    return [
+        pd.Series(mat[:, j], index=joined.index, dtype="int64")
+        for j in range(mat.shape[1])
+    ]
+
+
+def phrase_match_count_matrix(
+    joined: pd.Series, ordered: list[tuple[str, str]]
+) -> "np.ndarray":
+    """(n_rows × n_patterns) int64 matrix form of
+    ``phrase_match_count_batch`` — the gazetteer UDF consumes this directly
+    (one contiguous array instead of n_patterns Series + a concat).
+
+    Arrow fast path: each pattern's count/replace is one pyarrow C++
+    whole-column kernel call (literal, non-overlapping — byte-exact vs the
+    pandas path for any unicode content); rows that cannot cross into
+    Arrow fall back to the original pandas loop.
+    """
+    a = _doubled_stream_arrow(joined)
+    out = np.empty((len(joined), len(ordered)), dtype=np.int64)
+    if a is not None:
+        for j, (k, v) in enumerate(ordered):
+            pat, rep = _doubled(k), _doubled(v)
+            if len(pat) != len(rep):
+                # count from the length delta of the replace we perform
+                # anyway (exact: non-overlapping replaces shift length by
+                # n*(Δlen) — the same length-diff identity the SQL twin
+                # uses), skipping a whole substring-search pass
+                before = _pc.utf8_length(a).to_numpy(zero_copy_only=False)
+                a = _pc.replace_substring(a, pattern=pat, replacement=rep)
+                after = _pc.utf8_length(a).to_numpy(zero_copy_only=False)
+                out[:, j] = (before - after) // (len(pat) - len(rep))
+            else:
+                out[:, j] = _pc.count_substring(a, pattern=pat).to_numpy(
+                    zero_copy_only=False
+                )
+                a = _pc.replace_substring(a, pattern=pat, replacement=rep)
+        return out
     s = " " + joined.str.replace(" ", "  ", regex=False) + " "
-    counts: list[pd.Series] = []
-    for k, v in ordered:
+    for j, (k, v) in enumerate(ordered):
         pat, rep = _doubled(k), _doubled(v)
         if len(pat) != len(rep):
-            # count from the length delta of the replace we perform anyway
-            # (exact: non-overlapping replaces shift length by n*(Δlen) —
-            # the same length-diff identity the SQL twin uses), skipping a
-            # whole regex pass per pattern
             before = s.str.len()
             s = s.str.replace(pat, rep, regex=False)
-            counts.append(
-                ((before - s.str.len()) // (len(pat) - len(rep))).astype(
-                    "int64"
-                )
-            )
+            out[:, j] = (
+                (before - s.str.len()) // (len(pat) - len(rep))
+            ).to_numpy()
         else:
-            counts.append(s.str.count(re.escape(pat)).astype("int64"))
+            out[:, j] = s.str.count(re.escape(pat)).to_numpy()
             s = s.str.replace(pat, rep, regex=False)
-    return counts
+    return out
 
 
 def phrase_priority_order(exp: dict[str, str]) -> list[tuple[str, str]]:

@@ -235,8 +235,9 @@ def make_pair_jaccard_udf(cfg: PipelineConfig):
 
     @F.pandas_udf(T.DoubleType())
     def pair_jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        sets_cache: dict = {}  # per-task: reps repeat across batches
         for c1, c2 in it:
-            yield pair_jaccard_batch(c1, c2, cfg)
+            yield pair_jaccard_batch(c1, c2, cfg, cache=sets_cache)
 
     return pair_jaccard_udf
 
@@ -393,8 +394,9 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
     def pair_confirm_udf(
         it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
     ) -> Iterator[pd.DataFrame]:
+        sets_cache: dict = {}  # per-task: reps repeat across batches
         for c1, c2, hit in it:
-            jac = pair_jaccard_batch(c1, c2, cfg)
+            jac = pair_jaccard_batch(c1, c2, cfg, cache=sets_cache)
             lcs = pd.Series(np.full(len(c1), -1, dtype=np.int32))
             exh = pd.Series(np.zeros(len(c1), dtype=bool))
             need = (

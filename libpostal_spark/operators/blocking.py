@@ -218,10 +218,15 @@ def candidate_pairs(
     # instead of a hardcoded number
     keys = keys.repartition("kind", "kid", "khash")
     w = Window.partitionBy("kind", "kid", "khash")
-    keyed = (
-        keys.withColumn("cnt", F.count("*").over(w))
-        .withColumn("rep", F.min("fid").over(w))
-        .filter(F.col("cnt") > 1)
+    # cnt only here: the bucket-min representative (a 64-char sha string
+    # min over every key row) is needed ONLY by the oversized-bucket star
+    # branch, so it is computed there, over big-bucket rows alone — the
+    # hot window on the full key stream does one count aggregate instead
+    # of count + string-min (same filter, same downstream results: a
+    # bucket's rows all carry the same cnt, so the post-filter min over
+    # the big subset equals the pre-filter min over the bucket)
+    keyed = keys.withColumn("cnt", F.count("*").over(w)).filter(
+        F.col("cnt") > 1
     )
     cached = None
     has_big = True
@@ -295,7 +300,9 @@ def candidate_pairs(
         )
         return pairs, bucket_stats, cached
 
-    big = keyed.filter(F.col("cnt") > cfg.max_bucket_size)
+    big = keyed.filter(F.col("cnt") > cfg.max_bucket_size).withColumn(
+        "rep", F.min("fid").over(w)
+    )
     star_pairs = big.filter(F.col("fid") != F.col("rep")).select(
         "kind",
         F.least("rep", "fid").alias("fid1"),

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from ..core.canonicalize import (
     canonicalize_batch,
-    phrase_match_count_batch,
+    phrase_match_count_matrix,
     phrase_priority_order,
 )
 from ..dictionaries import entries_for_components
@@ -147,9 +147,8 @@ def phrase_class_matches(
                 yield pd.Series([], dtype=object)
                 continue
             canon = canonicalize_batch(content)
-            counts = phrase_match_count_batch(canon, pairs)
-            mat = pd.concat(counts, axis=1).astype("int32")
-            yield pd.Series(list(mat.to_numpy()))
+            mat = phrase_match_count_matrix(canon, pairs).astype("int32")
+            yield pd.Series(list(mat))
 
     pat_arr = F.array(*[F.lit(k) for k, _, _ in ordered])
     cls_arr = F.array(*[F.lit(c) for _, _, c in ordered])

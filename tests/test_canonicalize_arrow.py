@@ -218,3 +218,89 @@ def test_shingle_sets_sentinel_value_row():
     # every row is represented (short rows get the whole-row hash)
     cnts = np.diff(o)
     assert (cnts >= 1).all()
+
+
+# ---------------------------------------------------------------- phrase loops
+
+from libpostal_spark.core import canonicalize as C
+from libpostal_spark.core.canonicalize import (
+    phrase_match_count_matrix,
+    rewrite_joined_batch,
+)
+
+_PHRASE_TOKENS = [
+    "a", "b", "ab", "the", "data", "base", "data base", "no", "op", "no op",
+    "café", "straße", "x", "0", "1.5", "sec",
+]
+
+_PHRASE_ORDERED = [
+    ("data base", "database"),
+    ("no op", "noop"),
+    ("the", ""),            # deleting stopword (len change)
+    ("sec", "second"),      # len change, growth
+    ("ab", "ab"),           # equal length (count_substring branch)
+    ("café", "cafe"),       # non-ASCII pattern, len change
+    ("straße", "strasse"),  # non-ASCII, len change
+    ("a", "z"),             # equal length single char
+]
+
+
+def _phrase_rows(rng, n):
+    rows = []
+    for _ in range(n):
+        rows.append(
+            " ".join(
+                rng.choice(_PHRASE_TOKENS)
+                for _ in range(rng.randint(0, 12))
+            )
+        )
+    return rows
+
+
+def test_phrase_match_count_matrix_arrow_equals_pandas():
+    rng = random.Random(23)
+    rows = _phrase_rows(rng, 300) + ["", "a", "data base data base", "ababab"]
+    s = pd.Series(rows)
+    got = phrase_match_count_matrix(s, _PHRASE_ORDERED)
+    # force the pandas fallback by hiding pyarrow from the module
+    orig = C._pa
+    try:
+        C._pa = None
+        ref = phrase_match_count_matrix(s, _PHRASE_ORDERED)
+    finally:
+        C._pa = orig
+    assert got.dtype == ref.dtype
+    assert (got == ref).all()
+
+
+def test_rewrite_joined_batch_arrow_equals_pandas():
+    rng = random.Random(29)
+    rows = _phrase_rows(rng, 300) + ["", "a", "the the the", "1.5 2 x 007"]
+    s = pd.Series(rows)
+    exp = dict(_PHRASE_ORDERED)
+    for fold in (False, True):
+        got_s, got_m = rewrite_joined_batch(
+            s, exp, fold_numbers=fold, count_matches=True
+        )
+        orig = C._pa
+        try:
+            C._pa = None
+            ref_s, ref_m = rewrite_joined_batch(
+                s, exp, fold_numbers=fold, count_matches=True
+            )
+        finally:
+            C._pa = orig
+        assert got_s.tolist() == ref_s.tolist()
+        assert got_m.tolist() == ref_m.tolist()
+
+
+def test_rewrite_joined_batch_arrow_surrogate_fallback():
+    # a lone surrogate cannot cross into Arrow: the batch must fall back to
+    # the pandas path (and not raise)
+    s = pd.Series(["data base \udc80 the", "plain the row"])
+    out, m = rewrite_joined_batch(
+        s, {"data base": "database", "the": ""}, count_matches=True
+    )
+    assert out.iloc[1] == "plain row"
+    assert m.iloc[1] == 1
+    assert "database" in out.iloc[0]

@@ -95,9 +95,13 @@ def test_blocking_keyed_computed_once(spark, cfg):
             )
         }
         assert len(key_exchanges) <= 2, plan
-        # no windows outside the cached relation's own description
+        # windows: the cached relation's own cnt window (initial + AQE-final
+        # description of the SAME cached plan) plus ONE rep window in the
+        # star branch — the bucket-min string aggregate is deferred to
+        # big-bucket rows only (r8), riding the cache's partitioning with
+        # no exchange of its own (pinned by the exchange count above)
         n_windows = len(re.findall(r"\n\(\d+\) Window", plan))
-        assert n_windows <= 2, plan
+        assert n_windows <= 3, plan
     finally:
         if cached is not None:
             cached.unpersist()
