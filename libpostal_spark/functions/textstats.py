@@ -13,6 +13,9 @@ the reference's analog is its per-record classifiers and normalizers
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -177,13 +180,7 @@ def lang_id_trigram(
     runs the single full-corpus pass. Nothing is persisted, so repeated
     invocations leak no executor cache.
     """
-    spark = docs.sparkSession
-
-    lowered = docs.select(
-        F.col(id_col),
-        F.col(lang_col).alias("lang_label"),
-        F.lower(F.col(text_col)).alias("t"),
-    ).filter(F.length("t") >= 3)
+    spark = docs.sparkSession  # noqa: F841 (kept: API parity, debugging)
 
     # fit on a bounded, DETERMINISTIC document sample (first fit_max_docs
     # ids in sort order — reproducible, oracle-replayable). When the corpus
@@ -230,50 +227,43 @@ def lang_id_trigram(
         if cur is None or score > cur[0] or (score == cur[0] and lang < cur[1]):
             best[tri] = (score, lang)
     model_rows = [(tri, lang) for tri, (_, lang) in best.items()]
-    import pandas as pd
 
-    # pandas input → Arrow-path createDataFrame (one zero-copy batch; the
-    # list-of-tuples form walks row reflection)
-    model = spark.createDataFrame(
-        pd.DataFrame(
-            model_rows or [("", "und")], columns=["tri", "profile_lang"]
-        ),
-        schema="tri string, profile_lang string",
+    # predict: ONE zero-shuffle Arrow pass with the (tri -> profile_lang)
+    # dict in the UDF closure (the model is bounded by the fit sample, the
+    # same broadcast-table contract as before). The former JVM form -
+    # explode every character trigram (sequence+explode, ~1000x the corpus
+    # row count), broadcast-join the model, aggregate votes twice, left-join
+    # back - paid a broadcast build plus two aggregation exchanges per
+    # invocation for work that is a per-row dict tally. Vote semantics are
+    # IDENTICAL and integer-exact: per doc, each modeled trigram occurrence
+    # votes for its profile language; majority wins, ties to the
+    # lexicographically smaller language; no modeled trigram (or text
+    # shorter than 3 chars, or null) -> 'und'. lower() stays JVM-side so
+    # unicode case folding is byte-identical to the fit sample's.
+    model_dict = dict(model_rows)
+
+    @F.pandas_udf("string")
+    def vote_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if t is None or len(t) < 3:
+                    out.append("und")
+                    continue
+                votes: dict[str, int] = {}
+                get = model_dict.get
+                for i in range(len(t) - 2):
+                    lang = get(t[i : i + 3])
+                    if lang is not None:
+                        votes[lang] = votes.get(lang, 0) + 1
+                if not votes:
+                    out.append("und")
+                    continue
+                out.append(
+                    min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                )
+            yield pd.Series(out, dtype=object)
+
+    return docs.select(
+        F.col(id_col), vote_udf(F.lower(F.col(text_col))).alias("lang_pred")
     )
-    if not model_rows:
-        model = model.filter(F.lit(False))
-
-    def _explode_tris(frame):
-        return frame.withColumn(
-            "pos", F.explode(F.sequence(F.lit(1), F.length("t") - 2))
-        ).select(
-            id_col, "lang_label", F.expr("substring(t, pos, 3)").alias("tri")
-        )
-
-    # one distributed pass over the FULL corpus: broadcast the model into
-    # the vote join; the majority vote with (v desc, lang asc) tie-break is
-    # a single min_by over (-v, lang) — no window sort
-    top = (
-        _explode_tris(lowered)
-        .join(F.broadcast(model), "tri")
-        .groupBy(id_col, "profile_lang")
-        .agg(F.count("*").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.min_by(
-                "profile_lang",
-                F.struct((-F.col("v")).alias("nv"), F.col("profile_lang")),
-            ).alias("lang_pred")
-        )
-    )
-
-    # join on the NATIVE id type — force-casting to long would null out
-    # string doc ids and silently degrade every prediction to 'und'
-    out = (
-        docs.select(F.col(id_col))
-        .join(top, id_col, "left")
-        .select(
-            id_col, F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
-        )
-    )
-    return out
