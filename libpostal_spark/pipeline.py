@@ -94,6 +94,17 @@ class DedupPipeline:
         ided = None
         if signatures is not None:
             sigs = signatures
+            lvl = sigs.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                # a PERSISTED precomputed-signatures frame can serve the
+                # cheap (sha256, fid) rep aggregation itself — a 2-column
+                # scan of the warm cache + AQE-broadcast join back, instead
+                # of the window form's full-signature-payload shuffle on
+                # sha256 (exact_rep_frame's ided path; same rep map from
+                # the same rows). An UNPERSISTED signatures frame keeps the
+                # window form: feeding it to the agg would run the
+                # featurize UDF twice.
+                ided = sigs
         elif resumable:
             # the fingerprint keys every stage to THIS input — a re-run
             # against a different table invalidates the cache instead of
