@@ -2582,7 +2582,11 @@ def _q_lsh_candidates(spark, sf_dir):
     if key not in _PAIRS_CACHE:
         cfg = _cfg_pairs()
         sigs = _sigs_sha(spark, sf_dir)
-        rep_sigs, _ = blocking.exact_groups(sigs)
+        # the persisted sha-sigs cache serves its own (sha256, fid) rep
+        # aggregation — a 2-column scan + AQE-broadcast join instead of
+        # windowing the full signature payload (minhash array included)
+        # through a sha256 shuffle
+        rep_sigs, _ = blocking.exact_groups(sigs, ided=sigs)
         keys = blocking.blocking_keys(rep_sigs, cfg)
         # keep the cache handle referenced so repeated invocations reuse ONE
         # materialized bucket window instead of leaking a new one per call

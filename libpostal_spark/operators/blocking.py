@@ -134,7 +134,9 @@ def exact_rep_frame(sigs: DataFrame, ided: DataFrame | None = None) -> DataFrame
     ).drop("rep_sha")
 
 
-def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def exact_groups(
+    sigs: DataFrame, ided: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Group identical raw content.
 
     Returns (rep_sigs, exact_edges):
@@ -142,9 +144,14 @@ def exact_groups(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
       exact_edges — (fid1=rep, fid2=member) star edges for the copies
     One window shuffle on sha256; no pairing explosion regardless of skew.
     Pass a persisted ``exact_rep_frame`` output to share that shuffle across
-    every consumer.
+    every consumer, or ``ided`` (any cheap frame carrying the same
+    (sha256, fid) rows — a PERSISTED sigs frame qualifies) to derive the
+    rep map from a 2-column pass instead of windowing the full signature
+    payload (see exact_rep_frame).
     """
-    with_rep = sigs if "rep_fid" in sigs.columns else exact_rep_frame(sigs)
+    with_rep = (
+        sigs if "rep_fid" in sigs.columns else exact_rep_frame(sigs, ided)
+    )
     rep_sigs = with_rep.filter(F.col("fid") == F.col("rep_fid")).drop("rep_fid")
     exact_edges = (
         with_rep.filter(F.col("fid") != F.col("rep_fid"))
